@@ -1,0 +1,428 @@
+package graft.geom
+
+/**
+ * Pure-Scala planar geometry kernel (no Spark deps) — the from-scratch
+ * replacement for the reference's shapely usage
+ * (`/root/reference/src/python/utils.py:27-66`,
+ * `/root/reference/src/python/plot_courses.py:242-264`).
+ *
+ * Representation: a *ring* is a flat `Array[Double]` of interleaved
+ * coordinates `[x0,y0, x1,y1, ...]` (x = longitude, y = latitude — the
+ * (lon,lat) order the reference extracts at plot_courses.py:220-222).
+ * A *polygon* is `Array[Array[Double]]`: ring 0 = exterior shell,
+ * rings 1..n = interior holes. The reference only ever builds simple
+ * single-ring polygons; holes are supported for engine completeness.
+ *
+ * All math uses `java.lang.Math` on float64 — deterministic across JVMs
+ * for the fixture tests (SURVEY.md §7 "Determinism").
+ */
+object Geom {
+
+  /** Number of vertices in a flat ring. */
+  @inline def nPts(ring: Array[Double]): Int = ring.length / 2
+
+  // ---------------------------------------------------------------------
+  // Ring closure — reference: utils.py:40-41 (`if coords[0] != coords[-1]:
+  // coords.append(coords[0])`). Exact tuple equality, not epsilon.
+  // ---------------------------------------------------------------------
+  def closeRing(ring: Array[Double]): Array[Double] = {
+    val n = nPts(ring)
+    if (n == 0) return ring
+    val x0 = ring(0); val y0 = ring(1)
+    val xl = ring(ring.length - 2); val yl = ring(ring.length - 1)
+    if (x0 == xl && y0 == yl) ring
+    else {
+      val out = java.util.Arrays.copyOf(ring, ring.length + 2)
+      out(ring.length) = x0
+      out(ring.length + 1) = y0
+      out
+    }
+  }
+
+  def isClosed(ring: Array[Double]): Boolean = {
+    val n = ring.length
+    n >= 2 && ring(0) == ring(n - 2) && ring(1) == ring(n - 1)
+  }
+
+  // ---------------------------------------------------------------------
+  // Gaussian ring smoothing — reference: utils.py:27-31
+  // `gaussian_filter1d(xs, sigma)` with scipy defaults mode='reflect',
+  // truncate=4.0. Kernel radius = floor(truncate*sigma + 0.5); weights
+  // phi(i) = exp(-i^2 / (2 sigma^2)) normalized to sum 1 (scipy
+  // _gaussian_kernel1d with order=0). The x and y coordinate sequences are
+  // smoothed independently as flat arrays (the closed ring is NOT treated
+  // as periodic — reflect padding at both ends, exactly like the
+  // reference), so a closed input ring generally comes back un-closed and
+  // the caller re-closes it (utils.py:30-31 then 40-41).
+  // ---------------------------------------------------------------------
+  def gaussianKernel(sigma: Double): Array[Double] = {
+    val radius = (4.0 * sigma + 0.5).toInt
+    val w = new Array[Double](2 * radius + 1)
+    var s = 0.0
+    var i = -radius
+    while (i <= radius) {
+      val v = Math.exp(-0.5 * i * i / (sigma * sigma))
+      w(i + radius) = v; s += v; i += 1
+    }
+    i = 0
+    while (i < w.length) { w(i) /= s; i += 1 }
+    w
+  }
+
+  /** scipy.ndimage 'reflect' boundary: (d c b a | a b c d | d c b a). */
+  @inline private def reflectIdx(idx: Int, n: Int): Int = {
+    if (n == 1) return 0
+    var i = idx
+    val period = 2 * n
+    i = i % period
+    if (i < 0) i += period
+    if (i >= n) period - 1 - i else i
+  }
+
+  /** 1-D correlate with reflect padding over one coordinate axis. */
+  def gaussianFilter1d(xs: Array[Double], sigma: Double): Array[Double] = {
+    val w = gaussianKernel(sigma)
+    val radius = w.length / 2
+    val n = xs.length
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0.0
+      var k = -radius
+      while (k <= radius) {
+        acc += w(k + radius) * xs(reflectIdx(i + k, n))
+        k += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
+  /** Smooth a flat ring: x and y sequences filtered independently. */
+  def gaussianSmooth(ring: Array[Double], sigma: Double): Array[Double] = {
+    val n = nPts(ring)
+    if (n == 0) return ring
+    val xs = new Array[Double](n); val ys = new Array[Double](n)
+    var i = 0
+    while (i < n) { xs(i) = ring(2 * i); ys(i) = ring(2 * i + 1); i += 1 }
+    val sx = gaussianFilter1d(xs, sigma)
+    val sy = gaussianFilter1d(ys, sigma)
+    val out = new Array[Double](2 * n)
+    i = 0
+    while (i < n) { out(2 * i) = sx(i); out(2 * i + 1) = sy(i); i += 1 }
+    out
+  }
+
+  // ---------------------------------------------------------------------
+  // Point-in-polygon — reference: utils.py:50-52 uses shapely's *strict*
+  // `polygon.contains(point)`: points exactly on the boundary are NOT
+  // contained. Ray casting (even-odd) with an explicit on-segment check
+  // first so boundary exclusion is deterministic.
+  // ---------------------------------------------------------------------
+  @inline def onSegment(ax: Double, ay: Double, bx: Double, by: Double,
+                        px: Double, py: Double): Boolean = {
+    val cross = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    if (cross != 0.0) return false
+    px >= Math.min(ax, bx) && px <= Math.max(ax, bx) &&
+      py >= Math.min(ay, by) && py <= Math.max(ay, by)
+  }
+
+  /** Even-odd crossing test for one ring; boundary handled by caller. */
+  private def rayCrossings(ring: Array[Double], px: Double, py: Double): Boolean = {
+    val n = nPts(ring)
+    var inside = false
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      val xi = ring(2 * i); val yi = ring(2 * i + 1)
+      val xj = ring(2 * j); val yj = ring(2 * j + 1)
+      if ((yi > py) != (yj > py)) {
+        val xCross = (xj - xi) * (py - yi) / (yj - yi) + xi
+        if (px < xCross) inside = !inside
+      }
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  /** True iff point is on any edge of any ring. */
+  def onBoundary(poly: Array[Array[Double]], px: Double, py: Double): Boolean = {
+    var r = 0
+    while (r < poly.length) {
+      val ring = poly(r)
+      val n = nPts(ring)
+      var i = 0
+      var j = n - 1
+      while (i < n) {
+        if (onSegment(ring(2 * j), ring(2 * j + 1), ring(2 * i), ring(2 * i + 1), px, py))
+          return true
+        j = i
+        i += 1
+      }
+      r += 1
+    }
+    false
+  }
+
+  /** shapely-`contains`-compatible strict containment (boundary excluded). */
+  def containsStrict(poly: Array[Array[Double]], px: Double, py: Double): Boolean = {
+    if (poly.length == 0 || nPts(poly(0)) < 3) return false
+    if (onBoundary(poly, px, py)) return false
+    if (!rayCrossings(poly(0), px, py)) return false
+    var r = 1
+    while (r < poly.length) {       // inside a hole => not contained
+      if (rayCrossings(poly(r), px, py)) return false
+      r += 1
+    }
+    true
+  }
+
+  /** Covers = contains-or-on-boundary (used by conservative cell covers). */
+  def covers(poly: Array[Array[Double]], px: Double, py: Double): Boolean =
+    onBoundary(poly, px, py) || containsStrict(poly, px, py)
+
+  // ---------------------------------------------------------------------
+  // Envelope — reference: geo_series.total_bounds / polygon.bounds
+  // (plot_courses.py:174-176, 275). Returns (minx, miny, maxx, maxy),
+  // same order as geopandas total_bounds.
+  // ---------------------------------------------------------------------
+  def envelope(ring: Array[Double]): Array[Double] = {
+    val n = nPts(ring)
+    if (n == 0) return Array(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+    var minx = ring(0); var maxx = ring(0)
+    var miny = ring(1); var maxy = ring(1)
+    var i = 1
+    while (i < n) {
+      val x = ring(2 * i); val y = ring(2 * i + 1)
+      if (x < minx) minx = x
+      if (x > maxx) maxx = x
+      if (y < miny) miny = y
+      if (y > maxy) maxy = y
+      i += 1
+    }
+    Array(minx, miny, maxx, maxy)
+  }
+
+  def envelopePoly(poly: Array[Array[Double]]): Array[Double] =
+    if (poly.length == 0) Array(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+    else envelope(poly(0))
+
+  /** Signed shoelace area (positive = CCW). Open or closed rings OK. */
+  def signedArea(ring: Array[Double]): Double = {
+    val n = nPts(ring)
+    if (n < 3) return 0.0
+    var s = 0.0
+    var i = 0
+    var j = n - 1
+    while (i < n) {
+      s += (ring(2 * j) * ring(2 * i + 1)) - (ring(2 * i) * ring(2 * j + 1))
+      j = i
+      i += 1
+    }
+    s / 2.0
+  }
+
+  def area(ring: Array[Double]): Double = Math.abs(signedArea(ring))
+
+  // ---------------------------------------------------------------------
+  // Validity — reference: utils.py:35-38 (<3 points -> None) and
+  // utils.py:57-62 (`polygon.is_valid` gate before intersection).
+  // A ring is valid when: >=3 distinct vertices, nonzero area, and no
+  // two non-adjacent edges intersect (O(n^2); rings are small).
+  // ---------------------------------------------------------------------
+  private def segIntersects(ax: Double, ay: Double, bx: Double, by: Double,
+                            cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    def orient(ox: Double, oy: Double, px: Double, py: Double, qx: Double, qy: Double): Double =
+      (px - ox) * (qy - oy) - (py - oy) * (qx - ox)
+    val d1 = orient(cx, cy, dx, dy, ax, ay)
+    val d2 = orient(cx, cy, dx, dy, bx, by)
+    val d3 = orient(ax, ay, bx, by, cx, cy)
+    val d4 = orient(ax, ay, bx, by, dx, dy)
+    if (((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+        ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))) return true
+    if (d1 == 0 && onSegment(cx, cy, dx, dy, ax, ay)) return true
+    if (d2 == 0 && onSegment(cx, cy, dx, dy, bx, by)) return true
+    if (d3 == 0 && onSegment(ax, ay, bx, by, cx, cy)) return true
+    if (d4 == 0 && onSegment(ax, ay, bx, by, dx, dy)) return true
+    false
+  }
+
+  def isRingValid(ringIn: Array[Double]): Boolean = {
+    val ring = closeRing(ringIn)
+    val n = nPts(ring) - 1            // distinct edge count for closed ring
+    if (n < 3) return false
+    if (area(ring) == 0.0) return false
+    // non-adjacent edge pairs must not intersect
+    var i = 0
+    while (i < n) {
+      var j = i + 2
+      while (j < n) {
+        val adjacentWrap = i == 0 && j == n - 1
+        if (!adjacentWrap) {
+          if (segIntersects(
+            ring(2 * i), ring(2 * i + 1), ring(2 * (i + 1)), ring(2 * (i + 1) + 1),
+            ring(2 * j), ring(2 * j + 1), ring(2 * (j + 1)), ring(2 * (j + 1) + 1)))
+            return false
+        }
+        j += 1
+      }
+      i += 1
+    }
+    true
+  }
+
+  // ---------------------------------------------------------------------
+  // Polygon intersection — reference: utils.py:55-66
+  // (`polygon1.intersection(polygon2)` guarded by is_valid, returning
+  // None on empty/invalid; callers additionally swallow errors per hole,
+  // plot_courses.py:318-319).
+  //
+  // Engine: Sutherland–Hodgman half-plane clipping, which is exact when
+  // the CLIP ring is convex (the hole-boundary rings the reference clips
+  // against). When neither argument is convex we return null — the same
+  // observable behavior as the reference's exception path (logged + row
+  // skipped). Intersection is commutative, so a convex subject with a
+  // concave clip is handled by swapping.
+  // Returns null for empty/degenerate results (reference's None).
+  // ---------------------------------------------------------------------
+  def isConvex(ringIn: Array[Double]): Boolean = {
+    val ring = dropClosingDup(ringIn)
+    val n = nPts(ring)
+    if (n < 3) return false
+    var sign = 0
+    var i = 0
+    while (i < n) {
+      val ax = ring(2 * i); val ay = ring(2 * i + 1)
+      val bx = ring(2 * ((i + 1) % n)); val by = ring(2 * ((i + 1) % n) + 1)
+      val cx = ring(2 * ((i + 2) % n)); val cy = ring(2 * ((i + 2) % n) + 1)
+      val cross = (bx - ax) * (cy - by) - (by - ay) * (cx - bx)
+      if (cross != 0.0) {
+        val s = if (cross > 0) 1 else -1
+        if (sign == 0) sign = s
+        else if (sign != s) return false
+      }
+      i += 1
+    }
+    sign != 0
+  }
+
+  /** Drop the duplicated closing vertex if present. */
+  def dropClosingDup(ring: Array[Double]): Array[Double] =
+    if (isClosed(ring) && ring.length >= 4) java.util.Arrays.copyOf(ring, ring.length - 2)
+    else ring
+
+  /** Clip `subject` ring by one half-plane defined by directed edge (a->b)
+    * of a CCW convex clip ring (inside = left of edge). */
+  private def clipHalfPlane(subject: Array[Double],
+                            ax: Double, ay: Double, bx: Double, by: Double): Array[Double] = {
+    val n = nPts(subject)
+    val out = new scala.collection.mutable.ArrayBuilder.ofDouble
+    out.sizeHint(subject.length + 4)
+    @inline def side(px: Double, py: Double): Double =
+      (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    var i = 0
+    while (i < n) {
+      val cx = subject(2 * i); val cy = subject(2 * i + 1)
+      val pi = (i + n - 1) % n
+      val px = subject(2 * pi); val py = subject(2 * pi + 1)
+      val sc = side(cx, cy)
+      val sp = side(px, py)
+      if (sc >= 0) {
+        if (sp < 0) { // entering: emit intersection
+          val t = sp / (sp - sc)
+          out += px + t * (cx - px); out += py + t * (cy - py)
+        }
+        out += cx; out += cy
+      } else if (sp >= 0) { // leaving: emit intersection
+        val t = sp / (sp - sc)
+        out += px + t * (cx - px); out += py + t * (cy - py)
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Ensure CCW orientation (positive signed area). */
+  def toCCW(ring: Array[Double]): Array[Double] =
+    if (signedArea(ring) >= 0) ring
+    else {
+      val n = nPts(ring)
+      val out = new Array[Double](ring.length)
+      var i = 0
+      while (i < n) {
+        out(2 * i) = ring(2 * (n - 1 - i))
+        out(2 * i + 1) = ring(2 * (n - 1 - i) + 1)
+        i += 1
+      }
+      out
+    }
+
+  /**
+   * Intersection of two simple rings. Exact when at least one ring is
+   * convex (S-H with the convex one as clip); null otherwise, or when
+   * either input is degenerate, or when the result is empty/zero-area —
+   * mirroring utils.py:57-66's None returns.
+   */
+  def intersection(subjectIn: Array[Double], clipIn: Array[Double]): Array[Double] = {
+    var subject = dropClosingDup(subjectIn)
+    var clip = dropClosingDup(clipIn)
+    if (nPts(subject) < 3 || nPts(clip) < 3) return null
+    if (!isConvex(clip)) {
+      if (isConvex(subject)) { val t = subject; subject = clip; clip = t }
+      else return null
+    }
+    // quick reject on envelopes
+    val es = envelope(subject); val ec = envelope(clip)
+    if (es(2) < ec(0) || ec(2) < es(0) || es(3) < ec(1) || ec(3) < es(1)) return null
+    val ccwClip = toCCW(clip)
+    var result = subject
+    val m = nPts(ccwClip)
+    var i = 0
+    while (i < m && nPts(result) >= 3) {
+      val ax = ccwClip(2 * i); val ay = ccwClip(2 * i + 1)
+      val ni = (i + 1) % m
+      result = clipHalfPlane(result, ax, ay, ccwClip(2 * ni), ccwClip(2 * ni + 1))
+      i += 1
+    }
+    if (nPts(result) < 3 || area(result) == 0.0) null else result
+  }
+
+  // ---------------------------------------------------------------------
+  // Haversine distance in meters (kNN metric; no reference analog — the
+  // reference's only distance-ish math is the lat_to_meter_ratio=111000
+  // flat approximation in utils.py:18-23).
+  // ---------------------------------------------------------------------
+  final val EarthRadiusM = 6371008.8
+
+  def haversineM(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val p1 = Math.toRadians(lat1); val p2 = Math.toRadians(lat2)
+    val dp = p2 - p1
+    val dl = Math.toRadians(lon2 - lon1)
+    val a = Math.sin(dp / 2) * Math.sin(dp / 2) +
+      Math.cos(p1) * Math.cos(p2) * Math.sin(dl / 2) * Math.sin(dl / 2)
+    2.0 * EarthRadiusM * Math.asin(Math.min(1.0, Math.sqrt(a)))
+  }
+
+  // ---------------------------------------------------------------------
+  // Viewport math — reference: utils.py:18-24, 69-80. Constants are the
+  // reference's module-level values.
+  // ---------------------------------------------------------------------
+  final val LatToMeterRatio = 111000.0
+  final val MetersPerPixel = 0.2
+  final val Dpi = 300.0
+  final val MarkerSizeM = 3.0
+
+  /** (figWidthInches, figHeightInches, aspect, markerPixels) from bounds
+    * (west, south, east, north) — utils.py:69-80. */
+  def viewport(west: Double, south: Double, east: Double, north: Double): Array[Double] = {
+    val centerLat = (south + north) / 2.0
+    val aspect = 1.0 / Math.cos(Math.toRadians(centerLat))
+    val widthM = (east - west) * LatToMeterRatio * Math.cos(Math.toRadians(centerLat))
+    val heightM = (north - south) * LatToMeterRatio
+    val widthPx = widthM / MetersPerPixel
+    val heightPx = heightM / MetersPerPixel
+    Array(widthPx / Dpi, heightPx / Dpi, aspect, MarkerSizeM / MetersPerPixel)
+  }
+}

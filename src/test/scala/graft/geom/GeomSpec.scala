@@ -1,0 +1,203 @@
+package graft.geom
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+
+class GeomSpec extends AnyFunSuite with graft.PropHelper {
+
+  // ---- ring closure (reference utils.py:40-41) ----
+  test("closeRing appends first point when open") {
+    val r = Array(0.0, 0.0, 1.0, 0.0, 1.0, 1.0)
+    val c = Geom.closeRing(r)
+    assert(c.length == 8 && c(6) == 0.0 && c(7) == 0.0)
+    assert(Geom.closeRing(c) sameElements c) // idempotent
+  }
+
+  test("closeRing exact tuple equality, not epsilon") {
+    val r = Array(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 1e-16, 0.0)
+    assert(Geom.closeRing(r).length == r.length + 2)
+  }
+
+  // ---- gaussian smoothing (reference utils.py:27-31, scipy reflect) ----
+  test("gaussianFilter1d matches scipy-semantics golden vector") {
+    val xs = Array(116.300, 116.304, 116.304, 116.300, 116.300, 116.3011, 116.3302, 116.2999)
+    val expected = Array(116.30141754224849, 116.30258206964272, 116.3025731117152,
+      116.30137706937033, 116.30212993602525, 116.30776283763007,
+      116.31241918986458, 116.30893824350338)
+    val got = Geom.gaussianFilter1d(xs, 1.0)
+    got.zip(expected).foreach { case (g, e) => assert(Math.abs(g - e) < 1e-12, s"$g vs $e") }
+  }
+
+  test("gaussianFilter1d short array (n < kernel radius) reflect mode") {
+    val got = Geom.gaussianFilter1d(Array(1.0, 2.0, 3.0), 1.0)
+    val expected = Array(1.4220737662726832, 2.0, 2.5779262337273168)
+    got.zip(expected).foreach { case (g, e) => assert(Math.abs(g - e) < 1e-12) }
+  }
+
+  test("gaussian kernel sums to 1 and is symmetric") {
+    val k = Geom.gaussianKernel(1.0)
+    assert(k.length == 9) // truncate=4.0, sigma=1 => radius 4
+    assert(Math.abs(k.sum - 1.0) < 1e-15)
+    k.indices.foreach(i => assert(k(i) == k(k.length - 1 - i)))
+  }
+
+  test("smoothing preserves constant sequences") {
+    val got = Geom.gaussianFilter1d(Array.fill(10)(7.5), 2.0)
+    got.foreach(v => assert(Math.abs(v - 7.5) < 1e-12))
+  }
+
+  // ---- strict containment (reference utils.py:50-52) ----
+  val square: Array[Array[Double]] = Array(Array(0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0))
+
+  test("containsStrict: interior in, exterior out, boundary OUT (shapely contains)") {
+    assert(Geom.containsStrict(square, 2.0, 2.0))
+    assert(!Geom.containsStrict(square, 5.0, 2.0))
+    assert(!Geom.containsStrict(square, 2.0, 0.0))  // on edge
+    assert(!Geom.containsStrict(square, 0.0, 0.0))  // on vertex
+    assert(!Geom.containsStrict(square, 4.0, 4.0))  // on vertex
+    assert(!Geom.containsStrict(square, 0.0, 2.0))  // on vertical edge
+  }
+
+  test("containsStrict with hole") {
+    val withHole = square :+ Array(1.0, 1.0, 3.0, 1.0, 3.0, 3.0, 1.0, 3.0)
+    assert(!Geom.containsStrict(withHole, 2.0, 2.0)) // inside hole
+    assert(Geom.containsStrict(withHole, 0.5, 0.5))  // in shell, outside hole
+  }
+
+  test("containsStrict concave polygon") {
+    // U-shape
+    val u = Array(Array(0.0, 0.0, 6.0, 0.0, 6.0, 6.0, 4.0, 6.0, 4.0, 2.0, 2.0, 2.0, 2.0, 6.0, 0.0, 6.0))
+    assert(Geom.containsStrict(u, 1.0, 5.0))
+    assert(Geom.containsStrict(u, 5.0, 5.0))
+    assert(!Geom.containsStrict(u, 3.0, 5.0)) // in the notch
+    assert(Geom.containsStrict(u, 3.0, 1.0))
+  }
+
+  test("containsStrict agrees with winding-number brute force on random convex polys") {
+    val gen = for {
+      n <- Gen.choose(3, 12)
+      cx <- Gen.choose(-50.0, 50.0)
+      cy <- Gen.choose(-50.0, 50.0)
+      rad <- Gen.choose(1.0, 20.0)
+      px <- Gen.choose(-80.0, 80.0)
+      py <- Gen.choose(-80.0, 80.0)
+    } yield (n, cx, cy, rad, px, py)
+    forAllN(gen) { case (n, cx, cy, rad, px, py) =>
+      // regular n-gon => convex; strict containment has an easy oracle:
+      // distance from center along each half-plane
+      val ring = new Array[Double](2 * n)
+      (0 until n).foreach { i =>
+        val a = 2 * Math.PI * i / n
+        ring(2 * i) = cx + rad * Math.cos(a)
+        ring(2 * i + 1) = cy + rad * Math.sin(a)
+      }
+      val poly = Array(ring)
+      // oracle: all cross products strictly positive (CCW ring)
+      var strictlyIn = true
+      (0 until n).foreach { i =>
+        val j = (i + 1) % n
+        val cross = (ring(2 * j) - ring(2 * i)) * (py - ring(2 * i + 1)) -
+          (ring(2 * j + 1) - ring(2 * i + 1)) * (px - ring(2 * i))
+        if (cross <= 0) strictlyIn = false
+      }
+      assert(Geom.containsStrict(poly, px, py) == strictlyIn)
+    }
+  }
+
+  // ---- envelope / area ----
+  test("envelope matches geopandas total_bounds order (minx,miny,maxx,maxy)") {
+    val e = Geom.envelope(Array(3.0, -1.0, -2.0, 5.0, 1.0, 1.0))
+    assert(e sameElements Array(-2.0, -1.0, 3.0, 5.0))
+  }
+
+  test("signed area CCW positive, CW negative; closed == open") {
+    val ccw = Array(0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0)
+    assert(Geom.signedArea(ccw) == 4.0)
+    assert(Geom.signedArea(Geom.toCCW(ccw.reverse)) == 4.0)
+    assert(Geom.signedArea(Geom.closeRing(ccw)) == 4.0)
+  }
+
+  // ---- validity (reference utils.py:35-38, 57-62) ----
+  test("isRingValid: degenerate and self-intersecting rings invalid") {
+    assert(!Geom.isRingValid(Array(0.0, 0.0, 1.0, 1.0)))                       // 2 pts
+    assert(!Geom.isRingValid(Array(0.0, 0.0, 1.0, 1.0, 2.0, 2.0)))             // zero area
+    assert(!Geom.isRingValid(Array(0.0, 0.0, 2.0, 2.0, 2.0, 0.0, 0.0, 2.0)))   // bowtie
+    assert(Geom.isRingValid(Array(0.0, 0.0, 2.0, 0.0, 2.0, 2.0, 0.0, 2.0)))    // square
+  }
+
+  // ---- intersection (reference utils.py:55-66) ----
+  test("intersection of overlapping squares") {
+    val a = Array(0.0, 0.0, 4.0, 0.0, 4.0, 4.0, 0.0, 4.0)
+    val b = Array(2.0, 2.0, 6.0, 2.0, 6.0, 6.0, 2.0, 6.0)
+    val r = Geom.intersection(a, b)
+    assert(r != null)
+    assert(Math.abs(Geom.area(r) - 4.0) < 1e-12)
+    val e = Geom.envelope(r)
+    assert(e sameElements Array(2.0, 2.0, 4.0, 4.0))
+  }
+
+  test("intersection disjoint -> null (reference None on empty)") {
+    val a = Array(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0)
+    val b = Array(5.0, 5.0, 6.0, 5.0, 6.0, 6.0, 5.0, 6.0)
+    assert(Geom.intersection(a, b) == null)
+  }
+
+  test("intersection touching-edge only -> null (zero area)") {
+    val a = Array(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0)
+    val b = Array(1.0, 0.0, 2.0, 0.0, 2.0, 1.0, 1.0, 1.0)
+    assert(Geom.intersection(a, b) == null)
+  }
+
+  test("intersection degenerate input -> null") {
+    assert(Geom.intersection(Array(0.0, 0.0, 1.0, 1.0), square(0)) == null)
+  }
+
+  test("intersection concave subject x convex clip") {
+    // U-shape clipped by a square over the notch: two legs remain =>
+    // S-H produces a connected (degenerate-bridge) ring; area must equal
+    // legs' area
+    val u = Array(0.0, 0.0, 6.0, 0.0, 6.0, 6.0, 4.0, 6.0, 4.0, 2.0, 2.0, 2.0, 2.0, 6.0, 0.0, 6.0)
+    val clip = Array(0.0, 3.0, 6.0, 3.0, 6.0, 6.0, 0.0, 6.0)
+    val r = Geom.intersection(u, clip)
+    assert(r != null)
+    assert(Math.abs(Geom.area(r) - 12.0) < 1e-9) // two 2x3 legs
+  }
+
+  test("intersection clipped subset area <= both inputs (property)") {
+    val gen = for {
+      x1 <- Gen.choose(-10.0, 10.0); y1 <- Gen.choose(-10.0, 10.0)
+      w1 <- Gen.choose(0.5, 10.0); h1 <- Gen.choose(0.5, 10.0)
+      x2 <- Gen.choose(-10.0, 10.0); y2 <- Gen.choose(-10.0, 10.0)
+      w2 <- Gen.choose(0.5, 10.0); h2 <- Gen.choose(0.5, 10.0)
+    } yield (x1, y1, w1, h1, x2, y2, w2, h2)
+    forAllN(gen) { case (x1, y1, w1, h1, x2, y2, w2, h2) =>
+      val a = Array(x1, y1, x1 + w1, y1, x1 + w1, y1 + h1, x1, y1 + h1)
+      val b = Array(x2, y2, x2 + w2, y2, x2 + w2, y2 + h2, x2, y2 + h2)
+      val r = Geom.intersection(a, b)
+      val ix = Math.max(0.0, Math.min(x1 + w1, x2 + w2) - Math.max(x1, x2))
+      val iy = Math.max(0.0, Math.min(y1 + h1, y2 + h2) - Math.max(y1, y2))
+      val expected = ix * iy
+      if (expected == 0.0) assert(r == null)
+      else assert(r != null && Math.abs(Geom.area(r) - expected) < 1e-9)
+    }
+  }
+
+  // ---- haversine / viewport ----
+  test("haversine known distance (1 deg lat ~ 111.2km)") {
+    val d = Geom.haversineM(0, 0, 0, 1)
+    assert(Math.abs(d - 111195.0) < 100.0)
+    assert(Geom.haversineM(10, 20, 10, 20) == 0.0)
+  }
+
+  test("viewport math matches reference constants (utils.py:69-80)") {
+    // 0.01 x 0.01 degrees at equator-ish latitude 0:
+    val v = Geom.viewport(116.30, 39.98, 116.31, 39.99)
+    val centerLat = 39.985
+    val widthM = 0.01 * 111000.0 * Math.cos(Math.toRadians(centerLat))
+    val heightM = 0.01 * 111000.0
+    assert(Math.abs(v(0) - widthM / 0.2 / 300.0) < 1e-9)
+    assert(Math.abs(v(1) - heightM / 0.2 / 300.0) < 1e-9)
+    assert(Math.abs(v(2) - 1.0 / Math.cos(Math.toRadians(centerLat))) < 1e-12)
+    assert(v(3) == 15.0) // marker pixels = 3m / 0.2 m/px
+  }
+}
