@@ -1,0 +1,164 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import graft.geom.Geom
+import graft.index.{Cells, Cover, Tiles}
+
+/**
+ * Static bridge between Catalyst internal types and the pure kernel.
+ * Every method here is callable from generated Java code (whole-stage
+ * codegen) as `graft.expr.GeoOps.xxx(...)` — the expressions in
+ * [[graft.expr]] delegate both `nullSafeEval` and `doGenCode` to these.
+ *
+ * SQL-level geometry encoding (SURVEY.md §1.2):
+ *   ring    = ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>
+ *   polygon = ARRAY<ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>>  (ring 0 = shell)
+ */
+object GeoOps {
+
+  // ---- codecs ----
+  def ringToFlat(ad: ArrayData): Array[Double] = {
+    val n = ad.numElements()
+    val out = new Array[Double](2 * n)
+    var i = 0
+    while (i < n) {
+      val r = ad.getStruct(i, 2)
+      out(2 * i) = r.getDouble(0)
+      out(2 * i + 1) = r.getDouble(1)
+      i += 1
+    }
+    out
+  }
+
+  def flatToRing(flat: Array[Double]): ArrayData = {
+    val n = flat.length / 2
+    val rows = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      rows(i) = new GenericInternalRow(Array[Any](flat(2 * i), flat(2 * i + 1)))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  def polyToFlat(ad: ArrayData): Array[Array[Double]] = {
+    val n = ad.numElements()
+    val out = new Array[Array[Double]](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ringToFlat(ad.getArray(i))
+      i += 1
+    }
+    out
+  }
+
+  def flatToPoly(poly: Array[Array[Double]]): ArrayData = {
+    val rings = new Array[Any](poly.length)
+    var i = 0
+    while (i < poly.length) { rings(i) = flatToRing(poly(i)); i += 1 }
+    new GenericArrayData(rings)
+  }
+
+  // ---- ring ops ----
+  def closedRing(ring: ArrayData): ArrayData = flatToRing(Geom.closeRing(ringToFlat(ring)))
+
+  def gaussianSmooth(ring: ArrayData, sigma: Double): ArrayData =
+    flatToRing(Geom.gaussianSmooth(ringToFlat(ring), sigma))
+
+  /** Reference create_polygon (utils.py:34-47): close ring, null if <3
+    * distinct points or construction fails. Returns single-ring polygon. */
+  def makePolygon(ring: ArrayData): ArrayData = {
+    val flat = ringToFlat(ring)
+    if (flat.length / 2 < 3) return null
+    val closed = Geom.closeRing(flat)
+    if (Geom.nPts(closed) - 1 < 3) return null
+    flatToPoly(Array(closed))
+  }
+
+  // ---- predicates ----
+  def stContains(poly: ArrayData, x: Double, y: Double): Boolean =
+    Geom.containsStrict(polyToFlat(poly), x, y)
+
+  def stCovers(poly: ArrayData, x: Double, y: Double): Boolean =
+    Geom.covers(polyToFlat(poly), x, y)
+
+  def stIsValid(poly: ArrayData): Boolean = {
+    val p = polyToFlat(poly)
+    p.nonEmpty && Geom.isRingValid(p(0))
+  }
+
+  // ---- geometric ops ----
+  def stIntersection(a: ArrayData, b: ArrayData): ArrayData = {
+    val pa = polyToFlat(a); val pb = polyToFlat(b)
+    if (pa.isEmpty || pb.isEmpty) return null
+    if (!Geom.isRingValid(pa(0)) || !Geom.isRingValid(pb(0))) return null // utils.py:57-62
+    val r = Geom.intersection(pa(0), pb(0))
+    if (r == null) null else flatToPoly(Array(Geom.closeRing(r)))
+  }
+
+  def stEnvelope(poly: ArrayData): InternalRow = {
+    val p = polyToFlat(poly)
+    val e = Geom.envelopePoly(p)
+    if (e(0).isNaN) null else new GenericInternalRow(Array[Any](e(0), e(1), e(2), e(3)))
+  }
+
+  def stArea(poly: ArrayData): Double = {
+    val p = polyToFlat(poly)
+    if (p.isEmpty) 0.0
+    else {
+      var a = Geom.area(p(0))
+      var i = 1
+      while (i < p.length) { a -= Geom.area(p(i)); i += 1 }
+      a
+    }
+  }
+
+  def haversineM(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double =
+    Geom.haversineM(lon1, lat1, lon2, lat2)
+
+  // ---- cells / tiles ----
+  def cellId(lon: Double, lat: Double, level: Int): Long = Cells.cellId(lon, lat, level)
+
+  def cellParent(cell: Long, level: Int): Long = Cells.parentAt(cell, level)
+
+  def cellLevel(cell: Long): Int = Cells.level(cell)
+
+  def ringCells(cell: Long, r: Int): ArrayData = new GenericArrayData(Cells.ringCells(cell, r))
+
+  def diskCells(cell: Long, r: Int): ArrayData = new GenericArrayData(Cells.diskCells(cell, r))
+
+  def cellCenter(cell: Long): InternalRow = {
+    val c = Cells.center(cell)
+    new GenericInternalRow(Array[Any](c(0), c(1)))
+  }
+
+  def cellMinDistanceM(cell: Long, lon: Double, lat: Double): Double =
+    Cells.minDistanceM(cell, lon, lat)
+
+  def tileX(lon: Double, z: Int): Long = Tiles.lonToTileX(lon, z)
+
+  def tileY(lat: Double, z: Int): Long = Tiles.latToTileY(lat, z)
+
+  def quadkey(z: Int, x: Long, y: Long): org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(Tiles.quadkey(z, x, y))
+
+  /** Cover cells as ARRAY<STRUCT<cell: LONG, full: BOOLEAN>> for explode. */
+  def coverCells(poly: ArrayData, minLevel: Int, maxLevel: Int): ArrayData = {
+    val entries = Cover.cover(polyToFlat(poly), minLevel, maxLevel)
+    val rows = new Array[Any](entries.length)
+    var i = 0
+    while (i < entries.length) {
+      rows(i) = new GenericInternalRow(Array[Any](entries(i)._1, entries(i)._2))
+      i += 1
+    }
+    new GenericArrayData(rows)
+  }
+
+  /** Viewport struct (fig_w_in, fig_h_in, aspect, marker_px) — utils.py:69-80. */
+  def viewport(west: Double, south: Double, east: Double, north: Double): InternalRow = {
+    val v = Geom.viewport(west, south, east, north)
+    new GenericInternalRow(Array[Any](v(0), v(1), v(2), v(3)))
+  }
+}

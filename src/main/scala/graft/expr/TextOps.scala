@@ -1,0 +1,188 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Static bridge for the training-data-pipeline text/embedding operators
+ * (dedup, similarity, fingerprinting). Pure, deterministic, and callable
+ * from generated code. All hashing is written from scratch (no external
+ * hash libs): FNV-1a 64 over UTF-8 bytes + a splitmix64 finalizer.
+ */
+object TextOps {
+
+  // ---- hashing ----
+  final val FnvOffset = 0xcbf29ce484222325L
+  final val FnvPrime = 0x100000001b3L
+
+  /** splitmix64 finalizer — full avalanche over FNV's weak high bits. */
+  @inline def mix64(zIn: Long): Long = {
+    var z = zIn + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def hashBytes(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = FnvOffset
+    var i = from
+    while (i < until) { h = (h ^ (bytes(i) & 0xffL)) * FnvPrime; i += 1 }
+    mix64(h)
+  }
+
+  def hashText(s: UTF8String): Long = {
+    val b = s.getBytes
+    hashBytes(b, 0, b.length)
+  }
+
+  // ---- tokenization ----
+  /** Whitespace tokens. */
+  def tokens(s: UTF8String): Array[String] = {
+    val str = s.toString
+    val out = str.split("\\s+")
+    if (out.length > 0 && out(0).isEmpty) out.drop(1) else out
+  }
+
+  /** Word n-gram shingles ("a b c", n=2 -> ["a b", "b c"]). */
+  def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokens(s)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      out(i) = UTF8String.fromString(toks.slice(i, i + n).mkString(" "))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Character n-gram shingles over the raw string. */
+  def charShingles(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    if (str.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](str.length - n + 1)
+    var i = 0
+    while (i <= str.length - n) {
+      out(i) = UTF8String.fromString(str.substring(i, i + n))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // ---- MinHash (k permutations via seeded remix of one base hash) ----
+  def minHash(shingles: ArrayData, k: Int, seed: Long): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashText(shingles.getUTF8String(i))
+      var j = 0
+      while (j < k) {
+        val g = mix64(h ^ mix64(seed + j))
+        if (g < mins(j)) mins(j) = g
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** LSH band keys from a minhash signature: hash of each band of `rowsPerBand`
+    * values, tagged with the band index in the high bits. */
+  def lshBands(sig: ArrayData, rowsPerBand: Int): ArrayData = {
+    val k = sig.numElements()
+    val nBands = k / rowsPerBand
+    val out = new Array[Long](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = FnvOffset
+      var r = 0
+      while (r < rowsPerBand) {
+        val v = sig.getLong(b * rowsPerBand + r)
+        var s = 0
+        while (s < 8) { h = (h ^ ((v >>> (8 * s)) & 0xffL)) * FnvPrime; s += 1 }
+        r += 1
+      }
+      out(b) = (b.toLong << 56) ^ (mix64(h) >>> 8)
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // ---- SimHash (64-bit, token-weighted) ----
+  def simHash(shingles: ArrayData): Long = {
+    val counts = new Array[Int](64)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashText(shingles.getUTF8String(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  def hammingDistance(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  // ---- embeddings ----
+  /** Cosine similarity of two float vectors, accumulated in float64 in
+    * index order (deterministic). Returns 0 for zero-norm inputs. */
+  def cosineSim(a: ArrayData, b: ArrayData): Double = {
+    val n = Math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (Math.sqrt(na) * Math.sqrt(nb))
+  }
+
+  /** Random-hyperplane LSH bucket for a float vector: `nBits` sign bits of
+    * dot products with deterministic pseudo-random hyperplanes. */
+  def hyperplaneLsh(v: ArrayData, nBits: Int, seed: Long): Long = {
+    val n = v.numElements()
+    var out = 0L
+    var b = 0
+    while (b < nBits) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        // deterministic pseudo-gaussian-ish weight in [-1,1)
+        val w = (mix64(seed + b * 1000003L + i).toDouble / Long.MaxValue.toDouble)
+        dot += v.getFloat(i) * w
+        i += 1
+      }
+      if (dot >= 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  // ---- quality / language signals ----
+  /** Rolling polynomial fingerprint over whitespace tokens (document
+    * fingerprinting for the training-data pipeline). */
+  def fingerprint(s: UTF8String): Long = {
+    val toks = tokens(s)
+    var h = FnvOffset
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var th = FnvOffset
+      var j = 0
+      while (j < t.length) { th = (th ^ t.charAt(j)) * FnvPrime; j += 1 }
+      h = h * 31 + mix64(th)
+      i += 1
+    }
+    mix64(h)
+  }
+}

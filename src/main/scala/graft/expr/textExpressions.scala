@@ -1,0 +1,157 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic 64-bit text hash (FNV-1a + splitmix finalizer). */
+case class HashText(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hash_text"
+  override protected def nullSafeEval(s: Any): Any =
+    TextOps.hashText(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expr.TextOps.hashText($s)")
+  override protected def withNewChildInternal(c: Expression): HashText = copy(c)
+}
+
+/** Word n-gram shingles. */
+case class WordShingles(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "word_shingles"
+  override protected def nullSafeEval(s: Any, n: Any): Any =
+    TextOps.wordShingles(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) => s"graft.expr.TextOps.wordShingles($s, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WordShingles =
+    copy(l, r)
+}
+
+/** Character n-gram shingles. */
+case class CharShingles(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "char_shingles"
+  override protected def nullSafeEval(s: Any, n: Any): Any =
+    TextOps.charShingles(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) => s"graft.expr.TextOps.charShingles($s, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CharShingles =
+    copy(l, r)
+}
+
+/** k-permutation MinHash signature in one pass over the shingle array. */
+case class MinHash(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(StringType), IntegerType, LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash"
+  override protected def nullSafeEval(sh: Any, k: Any, seed: Any): Any =
+    TextOps.minHash(sh.asInstanceOf[ArrayData], k.asInstanceOf[Int], seed.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (sh, k, s) => s"graft.expr.TextOps.minHash($sh, $k, $s)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): MinHash =
+    copy(f, s, t)
+}
+
+/** LSH band keys from a MinHash signature (band-join candidates). */
+case class LshBands(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "lsh_bands"
+  override protected def nullSafeEval(sig: Any, rpb: Any): Any =
+    TextOps.lshBands(sig.asInstanceOf[ArrayData], rpb.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (sig, r) => s"graft.expr.TextOps.lshBands($sig, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LshBands =
+    copy(l, r)
+}
+
+/** 64-bit SimHash over shingles. */
+case class SimHash(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash"
+  override protected def nullSafeEval(sh: Any): Any =
+    TextOps.simHash(sh.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, sh => s"graft.expr.TextOps.simHash($sh)")
+  override protected def withNewChildInternal(c: Expression): SimHash = copy(c)
+}
+
+/** Hamming distance between two 64-bit hashes (SimHash near-dup test). */
+case class HammingDist(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hamming_dist"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.hammingDistance(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.TextOps.hammingDistance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HammingDist =
+    copy(l, r)
+}
+
+/** Cosine similarity of float-vector embeddings (double accumulation). */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cosine_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.TextOps.cosineSim($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSim =
+    copy(l, r)
+}
+
+/** Random-hyperplane LSH bucket for an embedding (ANN scale path). */
+case class HyperplaneLsh(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), IntegerType, LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_lsh"
+  override protected def nullSafeEval(v: Any, bits: Any, seed: Any): Any =
+    TextOps.hyperplaneLsh(v.asInstanceOf[ArrayData], bits.asInstanceOf[Int], seed.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, b, s) => s"graft.expr.TextOps.hyperplaneLsh($v, $b, $s)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): HyperplaneLsh =
+    copy(f, s, t)
+}
+
+/** Rolling token fingerprint of a document. */
+case class Fingerprint(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "fingerprint"
+  override protected def nullSafeEval(s: Any): Any =
+    TextOps.fingerprint(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expr.TextOps.fingerprint($s)")
+  override protected def withNewChildInternal(c: Expression): Fingerprint = copy(c)
+}

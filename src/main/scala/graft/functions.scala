@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graftShim.{column => toCol, expression => toExpr}
+import graft.expr._
+
+/**
+ * Public Column API for every custom Catalyst expression the engine adds —
+ * the `org.apache.spark.sql.functions`-style entry point users compose
+ * with built-ins. All of these are native expressions (codegen'd where
+ * hot), never Scala UDFs.
+ */
+object functions {
+
+  // ---- geometry (reference semantics: /root/reference/src/python/utils.py) ----
+  def closed_ring(ring: Column): Column = toCol(ClosedRing(toExpr(ring)))
+  def gaussian_smooth(ring: Column, sigma: Column): Column =
+    toCol(GaussianSmooth(toExpr(ring), toExpr(sigma)))
+  def make_polygon(ring: Column): Column = toCol(MakePolygon(toExpr(ring)))
+  def st_contains(poly: Column, x: Column, y: Column): Column =
+    toCol(StContains(toExpr(poly), toExpr(x), toExpr(y)))
+  def st_covers(poly: Column, x: Column, y: Column): Column =
+    toCol(StCovers(toExpr(poly), toExpr(x), toExpr(y)))
+  def st_isvalid(poly: Column): Column = toCol(StIsValid(toExpr(poly)))
+  def st_intersection(a: Column, b: Column): Column =
+    toCol(StIntersection(toExpr(a), toExpr(b)))
+  def st_envelope(poly: Column): Column = toCol(StEnvelope(toExpr(poly)))
+  def st_area(poly: Column): Column = toCol(StArea(toExpr(poly)))
+  def st_distance_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
+    toCol(StDistanceM(toExpr(lon1), toExpr(lat1), toExpr(lon2), toExpr(lat2)))
+  def viewport(w: Column, s: Column, e: Column, n: Column): Column =
+    toCol(Viewport(toExpr(w), toExpr(s), toExpr(e), toExpr(n)))
+
+  // ---- cells / tiles (north_star H3/S2 + slippy roles) ----
+  def cell_id(lon: Column, lat: Column, level: Column): Column =
+    toCol(CellId(toExpr(lon), toExpr(lat), toExpr(level)))
+  def cell_parent(cell: Column, level: Column): Column =
+    toCol(CellParent(toExpr(cell), toExpr(level)))
+  def cell_level(cell: Column): Column = toCol(CellLevel(toExpr(cell)))
+  def ring_cells(cell: Column, r: Column): Column =
+    toCol(RingCells(toExpr(cell), toExpr(r)))
+  def disk_cells(cell: Column, r: Column): Column =
+    toCol(DiskCells(toExpr(cell), toExpr(r)))
+  def cell_center(cell: Column): Column = toCol(CellCenter(toExpr(cell)))
+  def cell_min_distance_m(cell: Column, lon: Column, lat: Column): Column =
+    toCol(CellMinDistanceM(toExpr(cell), toExpr(lon), toExpr(lat)))
+  def tile_x(lon: Column, z: Column): Column = toCol(TileX(toExpr(lon), toExpr(z)))
+  def tile_y(lat: Column, z: Column): Column = toCol(TileY(toExpr(lat), toExpr(z)))
+  def quadkey(z: Column, x: Column, y: Column): Column =
+    toCol(QuadkeyExpr(toExpr(z), toExpr(x), toExpr(y)))
+  def cover_cells(poly: Column, minLevel: Column, maxLevel: Column): Column =
+    toCol(CoverCells(toExpr(poly), toExpr(minLevel), toExpr(maxLevel)))
+
+  // ---- text / dedup / embeddings (training-data pipeline operators) ----
+  def hash_text(s: Column): Column = toCol(HashText(toExpr(s)))
+  def word_shingles(s: Column, n: Column): Column =
+    toCol(WordShingles(toExpr(s), toExpr(n)))
+  def char_shingles(s: Column, n: Column): Column =
+    toCol(CharShingles(toExpr(s), toExpr(n)))
+  def minhash(shingles: Column, k: Column, seed: Column): Column =
+    toCol(MinHash(toExpr(shingles), toExpr(k), toExpr(seed)))
+  def lsh_bands(sig: Column, rowsPerBand: Column): Column =
+    toCol(LshBands(toExpr(sig), toExpr(rowsPerBand)))
+  def simhash(shingles: Column): Column = toCol(SimHash(toExpr(shingles)))
+  def hamming_dist(a: Column, b: Column): Column =
+    toCol(HammingDist(toExpr(a), toExpr(b)))
+  def cosine_sim(a: Column, b: Column): Column =
+    toCol(CosineSim(toExpr(a), toExpr(b)))
+  def hyperplane_lsh(v: Column, bits: Column, seed: Column): Column =
+    toCol(HyperplaneLsh(toExpr(v), toExpr(bits), toExpr(seed)))
+  def fingerprint(s: Column): Column = toCol(Fingerprint(toExpr(s)))
+
+  /** Register every graft function for SQL use (`SELECT st_contains(...)`). */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    def r(name: String, builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    r("closed_ring", e => ClosedRing(e.head))
+    r("gaussian_smooth", e => GaussianSmooth(e(0), e(1)))
+    r("make_polygon", e => MakePolygon(e.head))
+    r("st_contains", e => StContains(e(0), e(1), e(2)))
+    r("st_covers", e => StCovers(e(0), e(1), e(2)))
+    r("st_isvalid", e => StIsValid(e.head))
+    r("st_intersection", e => StIntersection(e(0), e(1)))
+    r("st_envelope", e => StEnvelope(e.head))
+    r("st_area", e => StArea(e.head))
+    r("st_distance_m", e => StDistanceM(e(0), e(1), e(2), e(3)))
+    r("viewport", e => Viewport(e(0), e(1), e(2), e(3)))
+    r("cell_id", e => CellId(e(0), e(1), e(2)))
+    r("cell_parent", e => CellParent(e(0), e(1)))
+    r("cell_level", e => CellLevel(e.head))
+    r("ring_cells", e => RingCells(e(0), e(1)))
+    r("disk_cells", e => DiskCells(e(0), e(1)))
+    r("cell_center", e => CellCenter(e.head))
+    r("cell_min_distance_m", e => CellMinDistanceM(e(0), e(1), e(2)))
+    r("tile_x", e => TileX(e(0), e(1)))
+    r("tile_y", e => TileY(e(0), e(1)))
+    r("quadkey", e => QuadkeyExpr(e(0), e(1), e(2)))
+    r("cover_cells", e => CoverCells(e(0), e(1), e(2)))
+    r("hash_text", e => HashText(e.head))
+    r("word_shingles", e => WordShingles(e(0), e(1)))
+    r("char_shingles", e => CharShingles(e(0), e(1)))
+    r("minhash", e => MinHash(e(0), e(1), e(2)))
+    r("lsh_bands", e => LshBands(e(0), e(1)))
+    r("simhash", e => SimHash(e.head))
+    r("hamming_dist", e => HammingDist(e(0), e(1)))
+    r("cosine_sim", e => CosineSim(e(0), e(1)))
+    r("hyperplane_lsh", e => HyperplaneLsh(e(0), e(1), e(2)))
+    r("fingerprint", e => Fingerprint(e.head))
+  }
+}

@@ -1,0 +1,213 @@
+package graft.expr
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions._
+import graft.geom.Geom
+import graft.index.{Cells, Tiles}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.functions.registerAll(s)
+    s
+  }
+}
+
+class ExprSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ringDf = Seq(
+    (1L, Seq((0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0))),          // open square
+    (2L, Seq((0.0, 0.0), (1.0, 1.0)))                                     // degenerate
+  ).toDF("id", "raw")
+    .select($"id", transform($"raw", p => struct(p("_1").as("x"), p("_2").as("y"))).as("ring"))
+
+  test("closed_ring appends first vertex (reference utils.py:40-41)") {
+    val rows = ringDf.select($"id", size(closed_ring($"ring")).as("n")).orderBy("id").collect()
+    assert(rows(0).getInt(1) == 5) // square closed: 4 -> 5
+    assert(rows(1).getInt(1) == 3) // 2-pt "ring" also closes
+  }
+
+  test("make_polygon nulls degenerate rings (utils.py:35-38)") {
+    val rows = ringDf.select($"id", make_polygon($"ring").as("poly")).orderBy("id").collect()
+    assert(!rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(1))
+  }
+
+  test("st_contains via DataFrame matches kernel, boundary excluded") {
+    val df = ringDf.filter($"id" === 1)
+      .select(make_polygon($"ring").as("poly"))
+      .select(
+        st_contains($"poly", lit(2.0), lit(2.0)).as("in"),
+        st_contains($"poly", lit(0.0), lit(2.0)).as("edge"),
+        st_contains($"poly", lit(9.0), lit(9.0)).as("out"))
+    val r = df.collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1) && !r.getBoolean(2))
+  }
+
+  test("gaussian_smooth matches kernel golden path through SQL") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT gaussian_smooth(array(struct(1.0d as x, 0.0d as y), struct(2.0d as x, 0.0d as y),
+        |struct(3.0d as x, 0.0d as y)), 1.0d) AS s""".stripMargin).collect()(0)
+    val pts = r.getSeq[Row](0)
+    val expected = Geom.gaussianFilter1d(Array(1.0, 2.0, 3.0), 1.0)
+    pts.zipWithIndex.foreach { case (p, i) =>
+      assert(Math.abs(p.getDouble(0) - expected(i)) < 1e-12)
+      assert(p.getDouble(1) == 0.0)
+    }
+  }
+
+  test("st_intersection / st_area / st_envelope round-trip") {
+    val df = spark.sql(
+      """SELECT st_intersection(
+        |  make_polygon(array(struct(0.0d as x, 0.0d as y), struct(4.0d as x, 0.0d as y),
+        |                     struct(4.0d as x, 4.0d as y), struct(0.0d as x, 4.0d as y))),
+        |  make_polygon(array(struct(2.0d as x, 2.0d as y), struct(6.0d as x, 2.0d as y),
+        |                     struct(6.0d as x, 6.0d as y), struct(2.0d as x, 6.0d as y)))) AS p""".stripMargin)
+    val withArea = df.select(st_area($"p").as("a"), st_envelope($"p").as("e"))
+    val r = withArea.collect()(0)
+    assert(Math.abs(r.getDouble(0) - 4.0) < 1e-12)
+    val e = r.getStruct(1)
+    assert(e.getDouble(0) == 2.0 && e.getDouble(1) == 2.0 && e.getDouble(2) == 4.0 && e.getDouble(3) == 4.0)
+  }
+
+  test("st_intersection disjoint -> null row survives (reference None)") {
+    val df = spark.sql(
+      """SELECT st_intersection(
+        |  make_polygon(array(struct(0.0d as x, 0.0d as y), struct(1.0d as x, 0.0d as y), struct(1.0d as x, 1.0d as y))),
+        |  make_polygon(array(struct(5.0d as x, 5.0d as y), struct(6.0d as x, 5.0d as y), struct(6.0d as x, 6.0d as y)))) AS p""".stripMargin)
+    assert(df.collect()(0).isNullAt(0))
+  }
+
+  test("cell_id/tile_x/tile_y/quadkey match kernel over a real column") {
+    val pts = Seq((116.3, 39.98), (-73.98, 40.75), (151.2, -33.87), (0.0, 0.0))
+    val df = pts.toDF("lon", "lat").select(
+      $"lon", $"lat",
+      cell_id($"lon", $"lat", lit(15)).as("cell"),
+      tile_x($"lon", lit(15)).as("tx"),
+      tile_y($"lat", lit(15)).as("ty"),
+      quadkey(lit(15), tile_x($"lon", lit(15)), tile_y($"lat", lit(15))).as("qk"))
+    df.collect().foreach { r =>
+      val lon = r.getDouble(0); val lat = r.getDouble(1)
+      assert(r.getLong(2) == Cells.cellId(lon, lat, 15))
+      assert(r.getLong(3) == Tiles.lonToTileX(lon, 15))
+      assert(r.getLong(4) == Tiles.latToTileY(lat, 15))
+      assert(r.getString(5) == Tiles.quadkey(15, Tiles.lonToTileX(lon, 15), Tiles.latToTileY(lat, 15)))
+    }
+  }
+
+  test("cell_parent/cell_level/ring_cells/disk_cells through DataFrame") {
+    val df = Seq((116.3, 39.98)).toDF("lon", "lat").select(
+      cell_id($"lon", $"lat", lit(15)).as("c15"))
+      .select(
+        cell_level($"c15").as("lvl"),
+        cell_parent($"c15", lit(12)).as("p12"),
+        size(ring_cells($"c15", lit(2))).as("nring"),
+        size(disk_cells($"c15", lit(2))).as("ndisk"))
+    val r = df.collect()(0)
+    assert(r.getInt(0) == 15)
+    assert(r.getLong(1) == Cells.cellId(116.3, 39.98, 12))
+    assert(r.getInt(2) == 16 && r.getInt(3) == 25)
+  }
+
+  test("cover_cells explode yields conservative candidates") {
+    val df = ringDf.filter($"id" === 1)
+      .select(make_polygon($"ring").as("poly"))
+      .select(explode(cover_cells($"poly", lit(6), lit(8))).as("c"))
+      .select($"c.cell", $"c.full")
+    val cells = df.collect().map(r => (r.getLong(0), r.getBoolean(1)))
+    assert(cells.nonEmpty)
+    // the point (2,2) inside the square must fall in one of the cover cells
+    val hit = cells.exists { case (cell, _) =>
+      val lvl = Cells.level(cell)
+      Cells.cellId(2.0, 2.0, lvl) == cell
+    }
+    assert(hit)
+  }
+
+  test("st_distance_m haversine and viewport struct") {
+    val r = spark.sql(
+      "SELECT st_distance_m(0.0d, 0.0d, 0.0d, 1.0d) AS d, viewport(116.30d, 39.98d, 116.31d, 39.99d) AS v")
+      .collect()(0)
+    assert(Math.abs(r.getDouble(0) - 111195.0) < 100.0)
+    val v = r.getStruct(1)
+    assert(v.getDouble(3) == 15.0) // marker_px
+  }
+
+  test("text: hash_text/fingerprint deterministic; shingles; minhash jaccard estimate") {
+    val df = Seq(
+      ("a", "the quick brown fox jumps over the lazy dog"),
+      ("b", "the quick brown fox jumps over the lazy cat"),
+      ("c", "completely different words entirely here now")
+    ).toDF("id", "text").select(
+      $"id",
+      hash_text($"text").as("h"),
+      fingerprint($"text").as("fp"),
+      minhash(word_shingles($"text", lit(2)), lit(64), lit(7L)).as("sig"),
+      simhash(word_shingles($"text", lit(1))).as("sh"))
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getSeq[Long](3), r.getLong(4))).sortBy(_._1)
+    // determinism: recompute
+    val rows2 = df.collect().map(r => r.getLong(1)).sorted
+    assert(rows.map(_._2).sorted sameElements rows2)
+    // a vs b share most bigram shingles -> many matching minhash slots;
+    // a vs c share none
+    val ab = rows(0)._4.zip(rows(1)._4).count { case (x, y) => x == y }
+    val ac = rows(0)._4.zip(rows(2)._4).count { case (x, y) => x == y }
+    assert(ab > 32, s"near-dup minhash agreement too low: $ab/64")
+    assert(ac < 8, s"distinct docs minhash agreement too high: $ac/64")
+    // simhash hamming: near-dups closer than far pairs
+    val hAb = java.lang.Long.bitCount(rows(0)._5 ^ rows(1)._5)
+    val hAc = java.lang.Long.bitCount(rows(0)._5 ^ rows(2)._5)
+    assert(hAb < hAc)
+  }
+
+  test("cosine_sim on float vectors + hyperplane LSH bucket stability") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f), Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(1.0f, 2.0f, 2.0f), Array(2.0f, 4.0f, 4.0f))
+    ).toDF("id", "a", "b").select($"id",
+      cosine_sim($"a", $"b").as("cos"),
+      hyperplane_lsh($"a", lit(16), lit(3L)).as("bucket"))
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(Math.abs(rows(0).getDouble(1) - 1.0) < 1e-12)
+    assert(Math.abs(rows(1).getDouble(1)) < 1e-12)
+    assert(Math.abs(rows(2).getDouble(1) - 1.0) < 1e-12) // parallel vectors
+    // identical input vectors -> identical buckets
+    assert(rows(0).getLong(2) == rows(1).getLong(2))
+  }
+
+  test("lsh_bands: identical signatures share all bands; hamming_dist works") {
+    val df = Seq(("x", "same text here"), ("y", "same text here"))
+      .toDF("id", "text")
+      .select($"id", lsh_bands(minhash(word_shingles($"text", lit(1)), lit(16), lit(1L)), lit(4)).as("bands"))
+    val rows = df.collect()
+    assert(rows(0).getSeq[Long](1) == rows(1).getSeq[Long](1))
+    val hd = spark.sql("SELECT hamming_dist(7L, 0L) AS h").collect()(0).getInt(0)
+    assert(hd == 3)
+  }
+
+  test("expressions survive codegen AND interpreted paths identically") {
+    // force interpreted path by wrapping in a non-codegen context: compare
+    // wholestage-on collect vs wholestage-off collect
+    val q = ringDf.filter($"id" === 1)
+      .select(make_polygon(gaussian_smooth(closed_ring($"ring"), lit(1.0))).as("poly"))
+      .select(st_area($"poly").as("a"), st_contains($"poly", lit(2.0), lit(2.0)).as("c"))
+    val on = q.collect()(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try q.collect()(0) finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on.getDouble(0) == off.getDouble(0) && on.getBoolean(1) == off.getBoolean(1))
+  }
+}
