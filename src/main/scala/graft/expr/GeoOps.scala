@@ -123,6 +123,10 @@ object GeoOps {
 
   def cellParent(cell: Long, level: Int): Long = Cells.parentAt(cell, level)
 
+  def cellX(cell: Long): Long = Cells.x(cell)
+
+  def cellY(cell: Long): Long = Cells.y(cell)
+
   def cellLevel(cell: Long): Int = Cells.level(cell)
 
   def ringCells(cell: Long, r: Int): ArrayData = new GenericArrayData(Cells.ringCells(cell, r))

@@ -241,6 +241,34 @@ case class CellLevel(child: Expression)
   override protected def withNewChildInternal(c: Expression): CellLevel = copy(c)
 }
 
+/** Grid x of a cell id (Morton decode). */
+case class CellX(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_x"
+  override protected def nullSafeEval(cell: Any): Any =
+    GeoOps.cellX(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.GeoOps.cellX($c)")
+  override protected def withNewChildInternal(c: Expression): CellX = copy(c)
+}
+
+/** Grid y of a cell id (Morton decode). */
+case class CellY(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "cell_y"
+  override protected def nullSafeEval(cell: Any): Any =
+    GeoOps.cellY(cell.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expr.GeoOps.cellY($c)")
+  override protected def withNewChildInternal(c: Expression): CellY = copy(c)
+}
+
 /** Square ring of cells at Chebyshev distance r — kNN expansion step. */
 case class RingCells(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

@@ -37,6 +37,8 @@ object functions {
   def cell_parent(cell: Column, level: Column): Column =
     toCol(CellParent(toExpr(cell), toExpr(level)))
   def cell_level(cell: Column): Column = toCol(CellLevel(toExpr(cell)))
+  def cell_x(cell: Column): Column = toCol(CellX(toExpr(cell)))
+  def cell_y(cell: Column): Column = toCol(CellY(toExpr(cell)))
   def ring_cells(cell: Column, r: Column): Column =
     toCol(RingCells(toExpr(cell), toExpr(r)))
   def disk_cells(cell: Column, r: Column): Column =
@@ -90,6 +92,8 @@ object functions {
     r("cell_id", e => CellId(e(0), e(1), e(2)))
     r("cell_parent", e => CellParent(e(0), e(1)))
     r("cell_level", e => CellLevel(e.head))
+    r("cell_x", e => CellX(e.head))
+    r("cell_y", e => CellY(e.head))
     r("ring_cells", e => RingCells(e(0), e(1)))
     r("disk_cells", e => DiskCells(e(0), e(1)))
     r("cell_center", e => CellCenter(e.head))

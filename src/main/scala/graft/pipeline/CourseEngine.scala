@@ -1,0 +1,178 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions._
+
+/**
+ * Reference-parity course operators (SURVEY.md §2), each a declarative
+ * DataFrame transformation over the flat gpsItem frame from
+ * [[graft.data.Courses.itemsDf]]:
+ *   (clubId, courseId, holeNumber, itemType, shape ARRAY<STRUCT<x,y>>)
+ *
+ * The per-hole dataflow mirrors plot_courses.py:209-321: boundary pass ->
+ * clean (smooth sigma=1, close, polygonize) -> item pass (clip polygons,
+ * vertex-filter lines, contain-filter markers) -> catalog join -> z-order
+ * draw list -> envelope/viewport -> tile masks.
+ */
+object CourseEngine {
+
+  val holeKey: Seq[String] = Seq("clubId", "courseId", "holeNumber")
+
+  /** Boundary per hole, cleaned like the reference (utils.py:27-47 via
+    * plot_courses.py:216-229): FIRST HoleBoundary item of each hole,
+    * gaussian-smoothed (sigma=1), re-closed, polygonized (null if
+    * degenerate). P3 + F1 + F2 + F3. */
+  def boundaries(items: DataFrame): DataFrame = {
+    val w = Window.partitionBy(holeKey.map(col): _*).orderBy(monotonically_increasing_id())
+    items
+      .filter(col("itemType") === "HoleBoundary")            // P3 selection
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)                                // first + break (:229)
+      .select(
+        col("clubId"), col("courseId"), col("holeNumber"),
+        make_polygon(closed_ring(gaussian_smooth(col("shape"), lit(1.0)))).as("boundary"))
+      .filter(col("boundary").isNotNull)                      // P11 integrity gate (:268-272)
+  }
+
+  /** Non-boundary items joined to their hole's boundary (J1's equi part).
+    * The boundary side is one row per hole -> broadcast. */
+  def itemsWithBoundary(items: DataFrame, bounds: DataFrame): DataFrame =
+    items.filter(col("itemType") =!= "HoleBoundary")          // P4 anti-filter
+      .join(broadcast(bounds), holeKey)
+
+  /** Polygon items clipped to the boundary — J1/U3 (plot_courses.py:258-264
+    * via utils.py:55-66): smooth+close+polygonize the item, intersect with
+    * boundary, drop empty/invalid (null) results; keep items with >=3
+    * in-boundary vertices (P6). */
+  def clippedPolygons(items: DataFrame, bounds: DataFrame): DataFrame =
+    itemsWithBoundary(items, bounds)
+      .join(broadcast(Catalog.df(items.sparkSession)
+        .filter(col("category") === "polygon")
+        .select(col("itemType"), col("zorder"))), Seq("itemType"))
+      .filter(size(col("shape")) > 2)                         // P6 polygons >= 3
+      .withColumn("poly", make_polygon(closed_ring(gaussian_smooth(col("shape"), lit(1.0)))))
+      .filter(col("poly").isNotNull)
+      .withColumn("clipped", st_intersection(col("poly"), col("boundary")))
+      .filter(col("clipped").isNotNull)                       // empty/invalid -> dropped (:260)
+      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemType"),
+        col("zorder"), col("clipped"), st_area(col("clipped")).as("clip_area"))
+
+  /** Line items vertex-filtered to the boundary — P8 (plot_courses.py:
+    * 242-244): keep only vertices strictly inside; keep lines with >= 2
+    * surviving vertices (P6). NOT a geometric clip — segments crossing the
+    * boundary are joined, matching the reference's vertex-drop semantics. */
+  def clippedLines(items: DataFrame, bounds: DataFrame): DataFrame =
+    itemsWithBoundary(items, bounds)
+      .join(broadcast(Catalog.df(items.sparkSession)
+        .filter(col("category") === "line")
+        .select(col("itemType"), col("zorder"), col("color"), col("lineWidth"))), Seq("itemType"))
+      .withColumn("inside",
+        expr("filter(shape, p -> st_contains(boundary, p.x, p.y))"))
+      .filter(size(col("inside")) > 1)                        // P6 lines >= 2 (:243)
+      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemType"),
+        col("zorder"), col("color"), col("lineWidth"), col("inside").as("line"))
+
+  /** Markers kept only if strictly inside the boundary — P9
+    * (plot_courses.py:148-151), with pixel placement math (F6). */
+  def markers(items: DataFrame, bounds: DataFrame): DataFrame =
+    itemsWithBoundary(items, bounds)
+      .join(broadcast(Catalog.df(items.sparkSession)
+        .filter(col("category") === "marker")
+        .select(col("itemType"), col("zorder"))), Seq("itemType"))
+      .filter(size(col("shape")) === 1)
+      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemType"),
+        col("zorder"),
+        col("shape").getItem(0).getField("x").as("x"),
+        col("shape").getItem(0).getField("y").as("y"),
+        col("boundary"))
+      .filter(st_contains(col("boundary"), col("x"), col("y")))
+      .drop("boundary")
+      .withColumn("marker_zoom", lit(graft.geom.Geom.MarkerSizeM / graft.geom.Geom.MetersPerPixel / 200.0))
+
+  /** Painter's-order draw list per hole — A3/W3 (zorder ladder,
+    * plot_courses.py:59-76; boundary first at zorder 0). One row per
+    * drawable with a per-hole draw_seq. */
+  def drawList(items: DataFrame, bounds: DataFrame): DataFrame = {
+    val spark = items.sparkSession
+    val b = bounds.select(col("clubId"), col("courseId"), col("holeNumber"),
+      lit("HoleBoundary").as("itemType"), lit(0).as("zorder"),
+      to_json(col("boundary")).as("geometry"), lit("polygon").as("category"))
+    val polys = clippedPolygons(items, bounds)
+      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemType"),
+        col("zorder"), to_json(col("clipped")).as("geometry"), lit("polygon").as("category"))
+    val lines = clippedLines(items, bounds)
+      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemType"),
+        col("zorder"), to_json(col("line")).as("geometry"), lit("line").as("category"))
+    val marks = markers(items, bounds)
+      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemType"),
+        col("zorder"), to_json(struct(col("x"), col("y"))).as("geometry"),
+        lit("marker").as("category"))
+    val all = b.unionByName(polys).unionByName(lines).unionByName(marks)
+    val w = Window.partitionBy(holeKey.map(col): _*)
+      .orderBy(col("zorder"), col("itemType"), col("geometry"))
+    all.withColumn("draw_seq", row_number().over(w))
+  }
+
+  /** Per-hole envelope + figure viewport — A1 + F4 + R3
+    * (plot_courses.py:274-292, utils.py:69-80). */
+  def viewports(bounds: DataFrame): DataFrame =
+    bounds
+      .withColumn("env", st_envelope(col("boundary")))
+      .select(col("clubId"), col("courseId"), col("holeNumber"), col("env"),
+        viewport(col("env.minx"), col("env.miny"), col("env.maxx"), col("env.maxy")).as("vp"))
+      .select(col("clubId"), col("courseId"), col("holeNumber"),
+        col("env.minx").as("west"), col("env.miny").as("south"),
+        col("env.maxx").as("east"), col("env.maxy").as("north"),
+        col("vp.fig_w_in"), col("vp.fig_h_in"), col("vp.aspect"), col("vp.marker_px"))
+
+  /**
+   * Rasterize boundaries to slippy-tile coverage masks — R1
+   * (plot_courses.py:172-207's texture grid, on the global z/x/y pyramid).
+   * Each covering tile gets an 8x8 sampled boolean mask of st_covers hits
+   * packed into a LONG bitmask + a coverage fraction. J6's inverted index
+   * is the (z,x,y) -> feature reverse of this output.
+   */
+  def tileMasks(bounds: DataFrame, zoom: Int): DataFrame = {
+    val b = bounds
+      .withColumn("env", st_envelope(col("boundary")))
+      .withColumn("tx0", tile_x(col("env.minx"), lit(zoom)))
+      .withColumn("tx1", tile_x(col("env.maxx"), lit(zoom)))
+      .withColumn("ty0", tile_y(col("env.maxy"), lit(zoom))) // north -> smaller y
+      .withColumn("ty1", tile_y(col("env.miny"), lit(zoom)))
+      .withColumn("tx", explode(sequence(col("tx0"), col("tx1"))))
+      .withColumn("ty", explode(sequence(col("ty0"), col("ty1"))))
+    // 8x8 sample grid inside each tile: mask bit i*8+j set when the sample
+    // point is covered by the boundary polygon
+    val masked = b.withColumn("mask",
+      expr(
+        s"""aggregate(
+           |  flatten(transform(sequence(0, 7), i ->
+           |    transform(sequence(0, 7), j ->
+           |      CASE WHEN st_covers(boundary,
+           |        (CAST(tx AS DOUBLE) + (CAST(j AS DOUBLE) + 0.5) / 8.0) / ${1L << zoom}.0 * 360.0 - 180.0,
+           |        degrees(atan(sinh(pi() * (1.0 - 2.0 * (CAST(ty AS DOUBLE) + (CAST(i AS DOUBLE) + 0.5) / 8.0) / ${1L << zoom}.0))))
+           |      ) THEN shiftleft(1L, i * 8 + j) ELSE 0L END))),
+           |  0L, (acc, v) -> acc | v)""".stripMargin))
+    masked
+      .filter(col("mask") =!= 0L)
+      .select(col("clubId"), col("courseId"), col("holeNumber"),
+        lit(zoom).as("z"), col("tx").as("x"), col("ty").as("y"),
+        quadkey(lit(zoom), col("tx"), col("ty")).as("qk"),
+        col("mask"),
+        (expr("bit_count(mask)") / lit(64.0)).as("coverage"))
+  }
+
+  /** Priority reorder — W2 (plot_courses.py:340-352): given priority hole
+    * keys, order them first, everything else after, stable by key. */
+  def priorityOrder(bounds: DataFrame, priority: Seq[(String, String, Int)]): DataFrame = {
+    val prioCol: Column = priority.zipWithIndex.foldLeft(lit(Int.MaxValue)) {
+      case (acc, ((cl, co, h), i)) =>
+        when(col("clubId") === cl && col("courseId") === co && col("holeNumber") === h, lit(i))
+          .otherwise(acc)
+    }
+    bounds.withColumn("prio", prioCol)
+      .orderBy(col("prio"), col("clubId"), col("courseId"), col("holeNumber"))
+  }
+}

@@ -1,0 +1,149 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions._
+
+/**
+ * The flagship operator (BASELINE.json north_star; SURVEY.md §2.3 J4/J5):
+ * assign Common-Crawl-style pages (points) to golf-course hole polygons
+ * via a multi-resolution cell-cover prefilter join refined by exact
+ * point-in-polygon, plus cell-ring kNN.
+ *
+ * Plan shape (what .explain must show):
+ *   pages scan (pruned cols) -> cell_id per cover level (codegen'd)
+ *     -> posexplode of probe cells
+ *     -> BroadcastHashJoin with the exploded cover index (equi on cell)
+ *     -> Filter full OR st_contains(boundary, lon, lat)   [codegen'd]
+ * No shuffle touches the pages side; skew is irrelevant to a broadcast
+ * hash join (pages never repartition), which is precisely why the cover
+ * is broadcast. At 10^12 rows with a cover too big for broadcast, switch
+ * to the salted sort-merge variant [[assignPagesSmj]] — AQE skew-join
+ * splitting handles the residual hot cells.
+ */
+object SpatialJoin {
+
+  /** Default cover resolution band — area-equivalent to the north star's
+    * "H3 res 7-10" mandate (graft level 13 ~ H3 r7 ... 16 ~ r10), with a
+    * finer tail so hole-sized polygons (~300m) still get multi-cell
+    * covers. */
+  val MinLevel = 13
+  val MaxLevel = 17
+
+  /** Exploded cover table: one row per (cell, hole), `full` marking cells
+    * wholly inside the polygon (skip the PIP refine). Built from the
+    * boundaries frame of [[CourseEngine.boundaries]]. */
+  def coverDf(bounds: DataFrame, minLevel: Int = MinLevel, maxLevel: Int = MaxLevel): DataFrame =
+    bounds.select(
+      col("clubId"), col("courseId"), col("holeNumber"), col("boundary"),
+      explode(cover_cells(col("boundary"), lit(minLevel), lit(maxLevel))).as("cov"))
+      .select(col("cov.cell").as("cell"), col("cov.full").as("full"),
+        col("clubId"), col("courseId"), col("holeNumber"), col("boundary"))
+
+  /** Probe cells for a page: its cell at maxLevel plus ancestors down to
+    * minLevel (<= maxLevel-minLevel+1 probes, pure bit-shift math). */
+  private def probeCells(minLevel: Int, maxLevel: Int) = {
+    val fine = cell_id(col("lon"), col("lat"), lit(maxLevel))
+    array((minLevel to maxLevel).map(l => cell_parent(fine, lit(l))): _*)
+  }
+
+  /**
+   * Broadcast cover join + exact refine. Result: one row per (page, hole)
+   * containment pair, carrying `text` through untouched (the byte-identity
+   * invariant column).
+   */
+  def assignPages(pages: DataFrame, cover: DataFrame,
+                  minLevel: Int = MinLevel, maxLevel: Int = MaxLevel): DataFrame =
+    pages
+      .withColumn("probe_cell", explode(probeCells(minLevel, maxLevel)))
+      .join(broadcast(cover), col("probe_cell") === cover("cell"))
+      .filter(col("full") || st_contains(col("boundary"), col("lon"), col("lat")))
+      .select(pages.columns.map(col) :+ col("clubId") :+ col("courseId") :+
+        col("holeNumber"): _*)
+
+  /**
+   * Sort-merge variant for covers too large to broadcast (the 10^12-row /
+   * continental-polygon-set path): pages salted on a hash of url so hot
+   * cells spread over `nSalts` reducers; the cover side replicated per
+   * salt. AQE skew-join splitting covers residual skew.
+   */
+  def assignPagesSmj(pages: DataFrame, cover: DataFrame, nSalts: Int,
+                     minLevel: Int = MinLevel, maxLevel: Int = MaxLevel): DataFrame = {
+    val saltedPages = pages
+      .withColumn("probe_cell", explode(probeCells(minLevel, maxLevel)))
+      .withColumn("salt", pmod(xxhash64(col("url")), lit(nSalts)))
+    val saltedCover = cover
+      .withColumn("salt", explode(array((0 until nSalts).map(lit(_)): _*)))
+    saltedPages
+      .hint("merge")
+      .join(saltedCover, saltedPages("probe_cell") === saltedCover("cell") &&
+        saltedPages("salt") === saltedCover("salt"))
+      .filter(col("full") || st_contains(col("boundary"), col("lon"), col("lat")))
+      .select(pages.columns.map(col) :+ col("clubId") :+ col("courseId") :+
+        col("holeNumber"): _*)
+  }
+
+  /** Pages inside at least one course hole (left_semi form of J4). */
+  def pagesInAnyCourse(pages: DataFrame, cover: DataFrame): DataFrame = {
+    val hits = assignPages(pages, cover).select(col("url")).distinct()
+    pages.join(hits, Seq("url"), "left_semi")
+  }
+
+  /** Pages outside every course hole (left_anti form of J4). */
+  def pagesOutsideAllCourses(pages: DataFrame, cover: DataFrame): DataFrame = {
+    val hits = assignPages(pages, cover).select(col("url")).distinct()
+    pages.join(hits, Seq("url"), "left_anti")
+  }
+
+  /**
+   * k nearest course holes per page — J5, cell-ring expansion re-expressed
+   * for a broadcastable feature side: every hole centroid is expanded into
+   * its disk of cells up to `radius` rings at `level` (broadcast), pages
+   * probe ONE cell (map-side), candidates refine by exact haversine and a
+   * per-page top-k window. Pages with fewer than k in-radius candidates
+   * fall back to a brute-force broadcast NL join (rare; bounded by the
+   * radius choice). Exact = matches brute force, verified in tests.
+   */
+  def knnCourses(pages: DataFrame, bounds: DataFrame, k: Int,
+                 level: Int = 11, radius: Int = 3): DataFrame = {
+    val centroids = bounds
+      .withColumn("env", st_envelope(col("boundary")))
+      .select(col("clubId"), col("courseId"), col("holeNumber"),
+        ((col("env.minx") + col("env.maxx")) / 2).as("clon"),
+        ((col("env.miny") + col("env.maxy")) / 2).as("clat"))
+    val expanded = centroids
+      .withColumn("cell", explode(disk_cells(cell_id(col("clon"), col("clat"), lit(level)), lit(radius))))
+    val probed = pages
+      .withColumn("cell", cell_id(col("lon"), col("lat"), lit(level)))
+      .join(broadcast(expanded), "cell")
+      .withColumn("dist_m", st_distance_m(col("lon"), col("lat"), col("clon"), col("clat")))
+    val w = Window.partitionBy(col("url"))
+      .orderBy(col("dist_m"), col("clubId"), col("courseId"), col("holeNumber"))
+    val ranked = probed
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    // completeness fallback: pages with < k candidates within the radius
+    val counts = ranked.groupBy(col("url")).count()
+    val short = pages.join(counts.filter(col("count") >= k), Seq("url"), "left_anti")
+    val brute = short
+      .crossJoin(broadcast(centroids))
+      .withColumn("dist_m", st_distance_m(col("lon"), col("lat"), col("clon"), col("clat")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+    val cols = Seq("url", "lon", "lat", "clubId", "courseId", "holeNumber", "dist_m", "rank")
+    ranked.join(counts.filter(col("count") >= k), Seq("url"), "left_semi")
+      .select(cols.map(col): _*)
+      .unionByName(brute.select(cols.map(col): _*))
+  }
+
+  /** J6 — inverted tile index: (z,x,y,qk) -> contained hole feature ids,
+    * built from the rasterize output. */
+  def tileReverseIndex(masks: DataFrame): DataFrame =
+    masks.groupBy(col("z"), col("x"), col("y"), col("qk"))
+      .agg(
+        sort_array(collect_list(concat_ws("/", col("clubId"), col("courseId"),
+          col("holeNumber")))).as("features"),
+        max(col("coverage")).as("max_coverage"),
+        count(lit(1)).as("n_features"))
+}

@@ -1,0 +1,185 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkEntry
+import graft.data.{Courses, Pages}
+import graft.expr.GeoOps
+import graft.geom.Geom
+
+/** End-to-end geo pipeline correctness against in-JVM brute force —
+  * the oracle for the operators DuckDB can't express (SURVEY.md §5.3-5.5). */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = graft.expr.SparkTestSession.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+
+  /** Decode an ARRAY<ARRAY<STRUCT<x,y>>> column into the kernel's flat form. */
+  private def polyAt(r: org.apache.spark.sql.Row, idx: Int): Array[Array[Double]] =
+    r.getAs[scala.collection.Seq[scala.collection.Seq[org.apache.spark.sql.Row]]](idx)
+      .map(ring => ring.flatMap(p => Seq(p.getDouble(0), p.getDouble(1))).toArray).toArray
+
+  private lazy val bounds = CourseEngine.boundaries(Courses.itemsDf(spark, SparkEntry.NCourses))
+  private lazy val boundPolys: Map[(String, String, Int), Array[Array[Double]]] =
+    bounds.collect().map { r =>
+      val key = (r.getString(0), r.getString(1), r.getInt(2))
+      val poly = polyAt(r, 3)
+      key -> poly
+    }.toMap
+
+  test("flagship course assignment matches brute-force PIP over all polygons") {
+    val pagePts = Pages.pages(spark, sfDir, SparkEntry.Amp)
+      .select($"url", $"lon", $"lat").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val expected = (for {
+      (url, lon, lat) <- pagePts
+      (key, poly) <- boundPolys
+      if Geom.containsStrict(poly, lon, lat)
+    } yield (url, key._1, key._2, key._3)).toSet
+
+    val got = SparkEntry.queries("q40_course_assign")(spark, sfDir)
+      .select($"url", $"clubId", $"courseId", $"holeNumber").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3))).toSet
+
+    assert(got == expected, s"got ${got.size} vs expected ${expected.size}; " +
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(expected.nonEmpty, "fixture produced no containment pairs — useless test")
+  }
+
+  test("semi + anti variants partition the pages exactly") {
+    val p = Pages.pages(spark, sfDir, SparkEntry.Amp)
+    val total = p.count()
+    val in = SparkEntry.queries("q41_pages_in_any")(spark, sfDir).count()
+    val out = SparkEntry.queries("q42_pages_outside_all")(spark, sfDir)
+      .agg(sum($"n")).collect()(0).getLong(0)
+    assert(in + out == total)
+  }
+
+  test("byte-identical text per url through the spatial join (input_hint invariant)") {
+    val joined = SparkEntry.queries("q40_course_assign")(spark, sfDir)
+      .select($"url", $"text").distinct()
+    val source = Pages.pages(spark, sfDir, SparkEntry.Amp).select($"url", $"text")
+    // every joined (url, text) pair must exist identically in the source
+    val mismatches = joined.join(source, Seq("url", "text"), "left_anti").count()
+    assert(mismatches == 0)
+  }
+
+  test("kNN via cell-ring expansion equals brute-force kNN") {
+    val centroids = boundPolys.toSeq.map { case (key, poly) =>
+      val e = Geom.envelopePoly(poly)
+      (key, (e(0) + e(2)) / 2, (e(1) + e(3)) / 2)
+    }
+    val pagePts = Pages.pages(spark, sfDir, SparkEntry.Amp).limit(2000)
+      .select($"url", $"lon", $"lat").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val expected = pagePts.flatMap { case (url, lon, lat) =>
+      centroids.map { case (key, clon, clat) =>
+        (url, key, Geom.haversineM(lon, lat, clon, clat)) }
+        .sortBy(t => (t._3, t._2._1, t._2._2, t._2._3))
+        .take(3).zipWithIndex
+        .map { case ((u, key, _), i) => (u, key._1, key._2, key._3, i + 1) }
+    }.toSet
+    val got = SparkEntry.queries("q49_knn_courses")(spark, sfDir)
+      .select($"url", $"clubId", $"courseId", $"holeNumber", $"rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3), r.getInt(4))).toSet
+    assert(got == expected,
+      s"got ${got.size} vs expected ${expected.size}; " +
+        s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
+  test("clip join: areas positive and bounded by boundary area (J1/U3)") {
+    val items = Courses.itemsDf(spark, SparkEntry.NCourses)
+    val clipped = CourseEngine.clippedPolygons(items, bounds)
+    val withB = clipped.join(bounds, CourseEngine.holeKey)
+      .select($"clip_area", graft.functions.st_area($"boundary").as("barea"))
+      .collect()
+    assert(withB.nonEmpty)
+    withB.foreach { r =>
+      assert(r.getDouble(0) > 0 && r.getDouble(0) <= r.getDouble(1) + 1e-15)
+    }
+  }
+
+  test("line clip keeps only strictly-inside vertices (P8 vertex-drop semantics)") {
+    val items = Courses.itemsDf(spark, SparkEntry.NCourses)
+    val lines = CourseEngine.clippedLines(items, bounds)
+      .join(bounds, CourseEngine.holeKey)
+      .select($"line", $"boundary").limit(50).collect()
+    assert(lines.nonEmpty)
+    lines.foreach { r =>
+      val poly = polyAt(r, 1)
+      r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]](0).foreach { p =>
+        assert(Geom.containsStrict(poly, p.getDouble(0), p.getDouble(1)))
+      }
+    }
+  }
+
+  test("markers strictly inside; outside-planted markers dropped (P9)") {
+    val items = Courses.itemsDf(spark, SparkEntry.NCourses)
+    val m = CourseEngine.markers(items, bounds)
+      .select($"clubId", $"courseId", $"holeNumber", $"x", $"y").collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      val key = (r.getString(0), r.getString(1), r.getInt(2))
+      assert(Geom.containsStrict(boundPolys(key), r.getDouble(3), r.getDouble(4)),
+        s"marker outside boundary for $key")
+    }
+    // generator plants 1 inside + 1 far-outside marker per hole: at most
+    // one survivor per hole
+    assert(m.length <= bounds.count())
+  }
+
+  test("draw list: boundary first, zorder monotone within hole (W3)") {
+    val dl = SparkEntry.queries("q44_drawlist")(spark, sfDir)
+      .orderBy($"clubId", $"courseId", $"holeNumber", $"draw_seq").collect()
+    val byHole = dl.groupBy(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    byHole.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.head.getString(5) == "HoleBoundary")
+      val zs = sorted.map(_.getInt(4))
+      assert(zs.zip(zs.tail).forall { case (a, b) => a <= b }, "zorder not monotone")
+    }
+  }
+
+  test("zorder ladder matches reference values (plot_courses.py:59-76)") {
+    val z = Catalog.items.map(i => i.itemType -> i.zorder).toMap
+    assert(z("HoleBoundary") == 0 && z("BunkerTrace") == 1 && z("FairwayTrace") == 2)
+    assert(z("TeeboxTrace") == 9 && z("GreenTrace") == 9)
+    assert(z("WaterPath") == 10 && z("CartpathTrace") == 11 && z("CartpathPath") == 12)
+    assert(z("PineTree") == 20)
+  }
+
+  test("tile masks: sampled coverage consistent with st_covers; reverse index consistent") {
+    val masks = CourseEngine.tileMasks(bounds.limit(5), zoom = 17)
+    val rows = masks.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val cov = r.getDouble(8)
+      assert(cov > 0.0 && cov <= 1.0)
+    }
+    val rev = SpatialJoin.tileReverseIndex(masks).collect()
+    assert(rev.map(_.getLong(6)).sum == rows.length) // n_features sums to mask rows
+  }
+
+  test("viewport rows reproduce kernel math (F4)") {
+    val vp = CourseEngine.viewports(bounds.limit(10)).collect()
+    vp.foreach { r =>
+      val v = Geom.viewport(r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      assert(r.getDouble(7) == v(0) && r.getDouble(8) == v(1) &&
+        r.getDouble(9) == v(2) && r.getDouble(10) == v(3))
+    }
+  }
+
+  test("priority order puts priority holes first (W2)") {
+    val rows = SparkEntry.queries("q50_priority_order")(spark, sfDir).collect()
+    val prios = rows.map(_.getInt(3))
+    assert(prios.head < Int.MaxValue)
+    // all finite prios precede all MaxValue rows
+    val firstMax = prios.indexWhere(_ == Int.MaxValue)
+    if (firstMax >= 0) assert(prios.drop(firstMax).forall(_ == Int.MaxValue))
+  }
+
+  test("entry returns rows (driver smoke)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
