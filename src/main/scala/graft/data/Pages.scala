@@ -30,22 +30,33 @@ object Pages {
   final val OffMod = 100003L
   final val TsMod = 2592000L // 30 days of seconds
 
-  /** Pages as a DataFrame over `sfDir/documents.parquet`. */
-  def pages(spark: SparkSession, sfDir: String, amplify: Int = 1): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  /** Pages as a DataFrame over `sfDir/documents.parquet`.
+    *
+    * `repartitionDocs > 0` splits the (single-row-group) seed parquet
+    * before amplification so the fan-out parallelizes — the sandbox stand-in
+    * for the thousands of input splits a real 10^12-row table scan has. */
+  def pages(spark: SparkSession, sfDir: String, amplify: Int = 1,
+            repartitionDocs: Int = 0): DataFrame = {
+    val docs0 = spark.read.parquet(s"$sfDir/documents.parquet")
+    val docs = if (repartitionDocs > 0) docs0.repartition(repartitionDocs) else docs0
+    fromDocs(docs, amplify)
+  }
+
+  /** Same derivation over an arbitrary documents frame (lets callers
+    * pre-partition / persist the seed). */
+  def fromDocs(docs: DataFrame, amplify: Int): DataFrame = {
     val amped =
       if (amplify <= 1) docs.withColumn("rep", lit(0L))
       else docs.withColumn("rep", explode(sequence(lit(0L), lit(amplify.toLong - 1))))
     val pid = col("doc_id") * amplify + col("rep")
     val m1 = pid * Mult1
     val m2 = pid * Mult2 + 9973L
+    // compact expressions (array-literal lookup, not a CASE chain): these
+    // get duplicated by filter pushdown into join-key null checks, so they
+    // must stay small enough for whole-stage codegen
     val cityIdx = when(m1 % 16 < 8, lit(0)).otherwise((m1 % 16).cast("int") - 7)
-    val lonCase = cityLon.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (v, i)) =>
-      when(cityIdx === i, lit(v)).otherwise(acc)
-    }
-    val latCase = cityLat.zipWithIndex.foldLeft(lit(0.0)) { case (acc, (v, i)) =>
-      when(cityIdx === i, lit(v)).otherwise(acc)
-    }
+    val lonBase = element_at(typedLit(cityLon), cityIdx + 1)
+    val latBase = element_at(typedLit(cityLat), cityIdx + 1)
     amped.select(
       pid.as("page_id"),
       col("doc_id"),
@@ -56,8 +67,32 @@ object Pages {
       col("text").cast("binary").as("html"),
       col("text"),
       col("lang"),
-      (lonCase + ((m1 % OffMod).cast("double") - 51001.0) / 100003.0 * 0.3).as("lon"),
-      (latCase + ((m2 % OffMod).cast("double") - 51001.0) / 100003.0 * 0.15).as("lat"))
+      (lonBase + ((m1 % OffMod).cast("double") - 51001.0) / 100003.0 * 0.3).as("lon"),
+      (latBase + ((m2 % OffMod).cast("double") - 51001.0) / 100003.0 * 0.15).as("lat"))
+  }
+
+  /** Dense bench variant: pages jittered around given centroids (course
+    * centers), so the spatial join is point-in-polygon-bound rather than
+    * probe-miss/row-streaming-bound. Same deterministic arithmetic. */
+  def denseAround(docs: DataFrame, amplify: Int,
+                  lons: Seq[Double], lats: Seq[Double], jitter: Double): DataFrame = {
+    val amped =
+      if (amplify <= 1) docs.withColumn("rep", lit(0L))
+      else docs.withColumn("rep", explode(sequence(lit(0L), lit(amplify.toLong - 1))))
+    val pid = col("doc_id") * amplify + col("rep")
+    val m1 = pid * Mult1
+    val m2 = pid * Mult2 + 9973L
+    val idx = (m1 % lons.length).cast("int")
+    amped.select(
+      pid.as("page_id"),
+      concat(lit("https://"), col("source"), lit(".example.org/doc/"),
+        pid.cast("string")).as("url"),
+      col("text"),
+      col("lang"),
+      (element_at(typedLit(lons), idx + 1) +
+        ((m1 % OffMod).cast("double") - 51001.0) / 100003.0 * (2 * jitter)).as("lon"),
+      (element_at(typedLit(lats), idx + 1) +
+        ((m2 % OffMod).cast("double") - 51001.0) / 100003.0 * jitter).as("lat"))
   }
 
   /** The identical derivation as an ANSI SQL SELECT over table `documents`

@@ -78,11 +78,111 @@ object GeoOps {
   }
 
   // ---- predicates ----
-  def stContains(poly: ArrayData, x: Double, y: Double): Boolean =
-    Geom.containsStrict(polyToFlat(poly), x, y)
+  // The join hot path: walk the Catalyst ArrayData directly (no flat-array
+  // conversion, no per-row allocation beyond struct views) in a single
+  // fused on-boundary + even-odd-crossing pass. Semantics identical to
+  // Geom.containsStrict (shapely-strict, boundary excluded) — equivalence
+  // is property-tested in ExprSpec.
 
-  def stCovers(poly: ArrayData, x: Double, y: Double): Boolean =
-    Geom.covers(polyToFlat(poly), x, y)
+  /** Ring relation: 0 = outside, 1 = on an edge, 2 = strictly inside. */
+  private def ringRelation(ring: ArrayData, px: Double, py: Double): Int = {
+    val n = ring.numElements()
+    if (n == 0) return 0
+    var inside = false
+    var prev = ring.getStruct(n - 1, 2)
+    var xj = prev.getDouble(0); var yj = prev.getDouble(1)
+    var i = 0
+    while (i < n) {
+      val cur = ring.getStruct(i, 2)
+      val xi = cur.getDouble(0); val yi = cur.getDouble(1)
+      val cross = (xi - xj) * (py - yj) - (yi - yj) * (px - xj)
+      if (cross == 0.0 &&
+          px >= Math.min(xj, xi) && px <= Math.max(xj, xi) &&
+          py >= Math.min(yj, yi) && py <= Math.max(yj, yi)) return 1
+      if ((yi > py) != (yj > py)) {
+        val xCross = (xj - xi) * (py - yi) / (yj - yi) + xi
+        if (px < xCross) inside = !inside
+      }
+      xj = xi; yj = yi
+      i += 1
+    }
+    if (inside) 2 else 0
+  }
+
+  /** Shell ring flattened to ARRAY<DOUBLE> [x0,y0,x1,y1,...] — the
+    * zero-allocation probe form (primitive getDouble, no struct views).
+    * Exterior-only, like the reference's rendering (plot_courses.py:
+    * 184-186 uses `.exterior`). */
+  def flattenShell(poly: ArrayData): ArrayData = {
+    if (poly.numElements() == 0) return new GenericArrayData(Array.empty[Double])
+    val shell = poly.getArray(0)
+    val n = shell.numElements()
+    val out = new Array[Double](2 * n)
+    var i = 0
+    while (i < n) {
+      val p = shell.getStruct(i, 2)
+      out(2 * i) = p.getDouble(0)
+      out(2 * i + 1) = p.getDouble(1)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Strict containment against a flattened shell ring: fused on-edge +
+    * even-odd walk over primitive doubles — the join refine hot path. */
+  def stContainsFlat(flat: ArrayData, px: Double, py: Double): Boolean = {
+    val n = flat.numElements() / 2
+    if (n < 3) return false
+    var inside = false
+    var xj = flat.getDouble(2 * (n - 1)); var yj = flat.getDouble(2 * (n - 1) + 1)
+    var i = 0
+    while (i < n) {
+      val xi = flat.getDouble(2 * i); val yi = flat.getDouble(2 * i + 1)
+      val cross = (xi - xj) * (py - yj) - (yi - yj) * (px - xj)
+      if (cross == 0.0 &&
+          px >= Math.min(xj, xi) && px <= Math.max(xj, xi) &&
+          py >= Math.min(yj, yi) && py <= Math.max(yj, yi)) return false // on edge
+      if ((yi > py) != (yj > py)) {
+        val xCross = (xj - xi) * (py - yi) / (yj - yi) + xi
+        if (px < xCross) inside = !inside
+      }
+      xj = xi; yj = yi
+      i += 1
+    }
+    inside
+  }
+
+  def stContains(poly: ArrayData, x: Double, y: Double): Boolean = {
+    val nr = poly.numElements()
+    if (nr == 0) return false
+    val shell = poly.getArray(0)
+    if (shell.numElements() < 3) return false
+    if (ringRelation(shell, x, y) != 2) return false
+    var r = 1
+    while (r < nr) {
+      if (ringRelation(poly.getArray(r), x, y) != 0) return false // on/in a hole
+      r += 1
+    }
+    true
+  }
+
+  def stCovers(poly: ArrayData, x: Double, y: Double): Boolean = {
+    val nr = poly.numElements()
+    if (nr == 0) return false
+    val shell = poly.getArray(0)
+    if (shell.numElements() < 3) return false
+    val rel = ringRelation(shell, x, y)
+    if (rel == 1) return true  // on shell edge
+    if (rel == 0) return false
+    var r = 1
+    while (r < nr) {
+      val hr = ringRelation(poly.getArray(r), x, y)
+      if (hr == 2) return false // strictly inside a hole
+      if (hr == 1) return true  // on hole edge
+      r += 1
+    }
+    true
+  }
 
   def stIsValid(poly: ArrayData): Boolean = {
     val p = polyToFlat(poly)

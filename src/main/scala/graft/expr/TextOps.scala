@@ -69,6 +69,75 @@ object TextOps {
     new GenericArrayData(out)
   }
 
+  /** Sorted-distinct hashes of char n-grams, computed without
+    * materializing gram strings (one UTF8String -> one long[] pass). */
+  def hashedCharShingles(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toString
+    if (str.length < n) return new GenericArrayData(Array.empty[Long])
+    val raw = new Array[Long](str.length - n + 1)
+    var i = 0
+    while (i <= str.length - n) {
+      var h = FnvOffset
+      var j = 0
+      while (j < n) { h = (h ^ str.charAt(i + j)) * FnvPrime; j += 1 }
+      raw(i) = mix64(h)
+      i += 1
+    }
+    sortedDistinct(raw)
+  }
+
+  /** Sorted-distinct hashes of word n-grams (token-hash rolling combine). */
+  def hashedWordShingles(s: UTF8String, n: Int): ArrayData = {
+    val toks = tokens(s)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Long])
+    val tokHash = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var h = FnvOffset
+      var j = 0
+      while (j < t.length) { h = (h ^ t.charAt(j)) * FnvPrime; j += 1 }
+      tokHash(i) = mix64(h)
+      i += 1
+    }
+    val raw = new Array[Long](toks.length - n + 1)
+    i = 0
+    while (i <= toks.length - n) {
+      var h = FnvOffset
+      var j = 0
+      while (j < n) { h = h * 31 + tokHash(i + j); j += 1 }
+      raw(i) = mix64(h)
+      i += 1
+    }
+    sortedDistinct(raw)
+  }
+
+  private def sortedDistinct(raw: Array[Long]): ArrayData = {
+    java.util.Arrays.sort(raw)
+    var w = 0
+    var i = 0
+    while (i < raw.length) {
+      if (w == 0 || raw(i) != raw(w - 1)) { raw(w) = raw(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(raw, w))
+  }
+
+  /** Jaccard of two SORTED-DISTINCT long arrays via a single merge walk —
+    * no hash sets, no per-row allocation. */
+  def sortedJaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
   // ---- MinHash (k permutations via seeded remix of one base hash) ----
   def minHash(shingles: ArrayData, k: Int, seed: Long): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)

@@ -102,6 +102,37 @@ case class StContains(first: Expression, second: Expression, third: Expression)
     copy(f, s, t)
 }
 
+/** Shell ring flattened to ARRAY<DOUBLE> (zero-alloc probe form). */
+case class FlattenShell(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(GeoTypes.polygonType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "flatten_shell"
+  override protected def nullSafeEval(p: Any): Any =
+    GeoOps.flattenShell(p.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, p => s"graft.expr.GeoOps.flattenShell($p)")
+  override protected def withNewChildInternal(c: Expression): FlattenShell = copy(c)
+}
+
+/** Strict PIP against a flattened shell ring (exterior-only, like the
+  * reference's rendering path) — the join refine hot path. */
+case class StContainsFlat(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = false), DoubleType, DoubleType)
+  override def dataType: DataType = BooleanType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_contains_flat"
+  override protected def nullSafeEval(f: Any, x: Any, y: Any): Any =
+    GeoOps.stContainsFlat(f.asInstanceOf[ArrayData], x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (f, x, y) => s"graft.expr.GeoOps.stContainsFlat($f, $x, $y)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): StContainsFlat =
+    copy(f, s, t)
+}
+
 /** Contains-or-boundary (conservative cover probes). */
 case class StCovers(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {

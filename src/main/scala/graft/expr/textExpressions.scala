@@ -50,6 +50,51 @@ case class CharShingles(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** Sorted-distinct hashes of char n-grams (no gram strings materialized). */
+case class HashedCharShingles(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hashed_char_shingles"
+  override protected def nullSafeEval(s: Any, n: Any): Any =
+    TextOps.hashedCharShingles(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) => s"graft.expr.TextOps.hashedCharShingles($s, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HashedCharShingles =
+    copy(l, r)
+}
+
+/** Sorted-distinct hashes of word n-grams. */
+case class HashedWordShingles(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hashed_word_shingles"
+  override protected def nullSafeEval(s: Any, n: Any): Any =
+    TextOps.hashedWordShingles(s.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, n) => s"graft.expr.TextOps.hashedWordShingles($s, $n)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): HashedWordShingles =
+    copy(l, r)
+}
+
+/** Jaccard of two sorted-distinct long arrays (merge walk). */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sorted_jaccard"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.sortedJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.TextOps.sortedJaccard($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccard =
+    copy(l, r)
+}
+
 /** k-permutation MinHash signature in one pass over the shingle array. */
 case class MinHash(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {

@@ -21,6 +21,9 @@ object functions {
     toCol(StContains(toExpr(poly), toExpr(x), toExpr(y)))
   def st_covers(poly: Column, x: Column, y: Column): Column =
     toCol(StCovers(toExpr(poly), toExpr(x), toExpr(y)))
+  def flatten_shell(poly: Column): Column = toCol(FlattenShell(toExpr(poly)))
+  def st_contains_flat(flat: Column, x: Column, y: Column): Column =
+    toCol(StContainsFlat(toExpr(flat), toExpr(x), toExpr(y)))
   def st_isvalid(poly: Column): Column = toCol(StIsValid(toExpr(poly)))
   def st_intersection(a: Column, b: Column): Column =
     toCol(StIntersection(toExpr(a), toExpr(b)))
@@ -59,6 +62,12 @@ object functions {
     toCol(WordShingles(toExpr(s), toExpr(n)))
   def char_shingles(s: Column, n: Column): Column =
     toCol(CharShingles(toExpr(s), toExpr(n)))
+  def hashed_char_shingles(s: Column, n: Column): Column =
+    toCol(HashedCharShingles(toExpr(s), toExpr(n)))
+  def hashed_word_shingles(s: Column, n: Column): Column =
+    toCol(HashedWordShingles(toExpr(s), toExpr(n)))
+  def sorted_jaccard(a: Column, b: Column): Column =
+    toCol(SortedJaccard(toExpr(a), toExpr(b)))
   def minhash(shingles: Column, k: Column, seed: Column): Column =
     toCol(MinHash(toExpr(shingles), toExpr(k), toExpr(seed)))
   def lsh_bands(sig: Column, rowsPerBand: Column): Column =
@@ -83,6 +92,8 @@ object functions {
     r("make_polygon", e => MakePolygon(e.head))
     r("st_contains", e => StContains(e(0), e(1), e(2)))
     r("st_covers", e => StCovers(e(0), e(1), e(2)))
+    r("flatten_shell", e => FlattenShell(e.head))
+    r("st_contains_flat", e => StContainsFlat(e(0), e(1), e(2)))
     r("st_isvalid", e => StIsValid(e.head))
     r("st_intersection", e => StIntersection(e(0), e(1)))
     r("st_envelope", e => StEnvelope(e.head))
@@ -105,6 +116,9 @@ object functions {
     r("hash_text", e => HashText(e.head))
     r("word_shingles", e => WordShingles(e(0), e(1)))
     r("char_shingles", e => CharShingles(e(0), e(1)))
+    r("hashed_char_shingles", e => HashedCharShingles(e(0), e(1)))
+    r("hashed_word_shingles", e => HashedWordShingles(e(0), e(1)))
+    r("sorted_jaccard", e => SortedJaccard(e(0), e(1)))
     r("minhash", e => MinHash(e(0), e(1), e(2)))
     r("lsh_bands", e => LshBands(e(0), e(1)))
     r("simhash", e => SimHash(e.head))

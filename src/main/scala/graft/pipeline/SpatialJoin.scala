@@ -36,10 +36,13 @@ object SpatialJoin {
     * boundaries frame of [[CourseEngine.boundaries]]. */
   def coverDf(bounds: DataFrame, minLevel: Int = MinLevel, maxLevel: Int = MaxLevel): DataFrame =
     bounds.select(
-      col("clubId"), col("courseId"), col("holeNumber"), col("boundary"),
+      holeId.as("hole_id"), col("boundary"),
       explode(cover_cells(col("boundary"), lit(minLevel), lit(maxLevel))).as("cov"))
-      .select(col("cov.cell").as("cell"), col("cov.full").as("full"),
-        col("clubId"), col("courseId"), col("holeNumber"), col("boundary"))
+      .select(col("cov.cell").as("cell"), col("cov.full").as("full"), col("hole_id"))
+
+  /** Numeric surrogate key for a hole (long-keyed joins beat 3-string-keyed
+    * joins on the 30M-candidate refine probe stream). */
+  private def holeId = xxhash64(col("clubId"), col("courseId"), col("holeNumber"))
 
   /** Probe cells for a page: its cell at maxLevel plus ancestors down to
     * minLevel (<= maxLevel-minLevel+1 probes, pure bit-shift math). */
@@ -53,12 +56,57 @@ object SpatialJoin {
    * containment pair, carrying `text` through untouched (the byte-identity
    * invariant column).
    */
-  def assignPages(pages: DataFrame, cover: DataFrame,
+  def assignPages(pages: DataFrame, cover: DataFrame, bounds: DataFrame,
                   minLevel: Int = MinLevel, maxLevel: Int = MaxLevel): DataFrame =
     pages
       .withColumn("probe_cell", explode(probeCells(minLevel, maxLevel)))
       .join(broadcast(cover), col("probe_cell") === cover("cell"))
-      .filter(col("full") || st_contains(col("boundary"), col("lon"), col("lat")))
+      .join(broadcast(refineDim(bounds)), Seq("hole_id"))
+      .filter(col("full") || st_contains_flat(col("bflat"), col("lon"), col("lat")))
+      .select(pages.columns.map(col) :+ col("clubId") :+ col("courseId") :+
+        col("holeNumber"): _*)
+
+  private val holeKeyCols = Seq("clubId", "courseId", "holeNumber")
+
+  /** Geometry + key dim in the zero-allocation probe form (flattened
+    * shells; exterior-only, matching the reference's `.exterior`
+    * rendering), long-keyed by hole_id. */
+  private def refineDim(bounds: DataFrame): DataFrame =
+    bounds.select(holeId.as("hole_id"),
+      col("clubId"), col("courseId"), col("holeNumber"),
+      flatten_shell(col("boundary")).as("bflat"))
+
+  /**
+   * Flat single-level cover: every multi-res cover cell expanded to its
+   * maxLevel descendants. Morton ids make descendants a CONTIGUOUS id
+   * range (children of c = [c<<2 .. c<<2|3]), so the expansion is a plain
+   * `sequence()` — no custom generator. Trades broadcast size (4^dLevel
+   * per coarse cell) for a zero-explode probe side: pages compute ONE
+   * cell id and do ONE hash probe. The right variant whenever the
+   * expanded cover still fits a broadcast (hole-scale polygon sets);
+   * [[assignPages]] is the multi-res-probe variant for continental covers.
+   */
+  def coverDfFlat(bounds: DataFrame, minLevel: Int = MinLevel,
+                  maxLevel: Int = MaxLevel): DataFrame = {
+    graft.functions.registerAll(bounds.sparkSession)
+    val c = coverDf(bounds, minLevel, maxLevel)
+    c.withColumn("cell", expr(
+      s"""explode(sequence(
+         |  shiftleft(cell, ($maxLevel - cell_level(cell)) * 2),
+         |  shiftleft(cell + 1, ($maxLevel - cell_level(cell)) * 2) - 1))""".stripMargin))
+  }
+
+  /** Single-probe broadcast join against a flat (single-level) cover.
+    * The cover broadcast carries only (cell, full, hole key) — ~12B/cell,
+    * L2-resident hash table for the 96%-miss probe stream; the geometry
+    * joins in from the small `bounds` dim only for candidate rows. */
+  def assignPagesFlat(pages: DataFrame, flatCover: DataFrame, bounds: DataFrame,
+                      maxLevel: Int = MaxLevel): DataFrame =
+    pages
+      .withColumn("probe_cell", cell_id(col("lon"), col("lat"), lit(maxLevel)))
+      .join(broadcast(flatCover), col("probe_cell") === flatCover("cell"))
+      .join(broadcast(refineDim(bounds)), Seq("hole_id"))
+      .filter(col("full") || st_contains_flat(col("bflat"), col("lon"), col("lat")))
       .select(pages.columns.map(col) :+ col("clubId") :+ col("courseId") :+
         col("holeNumber"): _*)
 
@@ -68,7 +116,7 @@ object SpatialJoin {
    * cells spread over `nSalts` reducers; the cover side replicated per
    * salt. AQE skew-join splitting covers residual skew.
    */
-  def assignPagesSmj(pages: DataFrame, cover: DataFrame, nSalts: Int,
+  def assignPagesSmj(pages: DataFrame, cover: DataFrame, bounds: DataFrame, nSalts: Int,
                      minLevel: Int = MinLevel, maxLevel: Int = MaxLevel): DataFrame = {
     val saltedPages = pages
       .withColumn("probe_cell", explode(probeCells(minLevel, maxLevel)))
@@ -79,20 +127,21 @@ object SpatialJoin {
       .hint("merge")
       .join(saltedCover, saltedPages("probe_cell") === saltedCover("cell") &&
         saltedPages("salt") === saltedCover("salt"))
-      .filter(col("full") || st_contains(col("boundary"), col("lon"), col("lat")))
+      .join(broadcast(refineDim(bounds)), Seq("hole_id"))
+      .filter(col("full") || st_contains_flat(col("bflat"), col("lon"), col("lat")))
       .select(pages.columns.map(col) :+ col("clubId") :+ col("courseId") :+
         col("holeNumber"): _*)
   }
 
   /** Pages inside at least one course hole (left_semi form of J4). */
-  def pagesInAnyCourse(pages: DataFrame, cover: DataFrame): DataFrame = {
-    val hits = assignPages(pages, cover).select(col("url")).distinct()
+  def pagesInAnyCourse(pages: DataFrame, cover: DataFrame, bounds: DataFrame): DataFrame = {
+    val hits = assignPages(pages, cover, bounds).select(col("url")).distinct()
     pages.join(hits, Seq("url"), "left_semi")
   }
 
   /** Pages outside every course hole (left_anti form of J4). */
-  def pagesOutsideAllCourses(pages: DataFrame, cover: DataFrame): DataFrame = {
-    val hits = assignPages(pages, cover).select(col("url")).distinct()
+  def pagesOutsideAllCourses(pages: DataFrame, cover: DataFrame, bounds: DataFrame): DataFrame = {
+    val hits = assignPages(pages, cover, bounds).select(col("url")).distinct()
     pages.join(hits, Seq("url"), "left_anti")
   }
 

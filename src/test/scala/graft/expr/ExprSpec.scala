@@ -90,6 +90,43 @@ class ExprSpec extends AnyFunSuite {
     assert(df.collect()(0).isNullAt(0))
   }
 
+  test("direct-ArrayData st_contains/st_covers equivalent to kernel containsStrict/covers") {
+    val rnd = new scala.util.Random(7)
+    (0 until 300).foreach { _ =>
+      // random polygon: noisy ellipse ring, sometimes with a hole
+      val n = 3 + rnd.nextInt(20)
+      val cx = rnd.nextDouble() * 10 - 5; val cy = rnd.nextDouble() * 10 - 5
+      val shell = (0 until n).flatMap { i =>
+        val a = 2 * Math.PI * i / n
+        val rr = 1.0 + rnd.nextDouble()
+        Seq(cx + rr * Math.cos(a), cy + 0.7 * rr * Math.sin(a))
+      }.toArray
+      val hole = (0 until 4).flatMap { i =>
+        val a = 2 * Math.PI * i / 4
+        Seq(cx + 0.3 * Math.cos(a), cy + 0.3 * Math.sin(a))
+      }.toArray
+      val poly = if (rnd.nextBoolean()) Array(shell) else Array(shell, hole)
+      val ad = GeoOps.flatToPoly(poly)
+      (0 until 20).foreach { _ =>
+        // mix of random points and exact vertices/edge midpoints
+        val (px, py) = rnd.nextInt(3) match {
+          case 0 => (rnd.nextDouble() * 12 - 6, rnd.nextDouble() * 12 - 6)
+          case 1 =>
+            val v = rnd.nextInt(n)
+            (shell(2 * v), shell(2 * v + 1))
+          case _ =>
+            val v = rnd.nextInt(n)
+            val w = (v + 1) % n
+            ((shell(2 * v) + shell(2 * w)) / 2, (shell(2 * v + 1) + shell(2 * w + 1)) / 2)
+        }
+        assert(GeoOps.stContains(ad, px, py) == Geom.containsStrict(poly, px, py),
+          s"contains mismatch at ($px,$py)")
+        assert(GeoOps.stCovers(ad, px, py) == Geom.covers(poly, px, py),
+          s"covers mismatch at ($px,$py)")
+      }
+    }
+  }
+
   test("cell_id/tile_x/tile_y/quadkey match kernel over a real column") {
     val pts = Seq((116.3, 39.98), (-73.98, 40.75), (151.2, -33.87), (0.0, 0.0))
     val df = pts.toDF("lon", "lat").select(

@@ -47,6 +47,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(expected.nonEmpty, "fixture produced no containment pairs — useless test")
   }
 
+  test("flat single-level cover join equals multi-res probe join") {
+    val p = Pages.pages(spark, sfDir, SparkEntry.Amp)
+    val multi = SpatialJoin.assignPages(p, SpatialJoin.coverDf(bounds), bounds)
+      .select($"url", $"clubId", $"courseId", $"holeNumber").collect().toSet
+    val flat = SpatialJoin.assignPagesFlat(p, SpatialJoin.coverDfFlat(bounds), bounds)
+      .select($"url", $"clubId", $"courseId", $"holeNumber").collect().toSet
+    assert(multi == flat)
+    assert(multi.nonEmpty)
+  }
+
   test("semi + anti variants partition the pages exactly") {
     val p = Pages.pages(spark, sfDir, SparkEntry.Amp)
     val total = p.count()
