@@ -232,6 +232,37 @@ object SparkEntry {
           (nTokens >= 20 && nTokens <= 1000).as("is_quality"))
     }),
 
+    "q28_bpe_tokens" -> ((s, d) => {
+      // BPE-ish pre-tokenizer (GPT-2-style regex, ASCII form): contractions,
+      // space-prefixed words / numbers / punctuation runs, whitespace runs —
+      // the token counter a training-data pipeline budgets with
+      val pat = "'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9'\\s]+|\\s+"
+      t(s, d, "documents").select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_bpe_tokens"))
+    }),
+
+    "q29_stopword_ratio" -> ((s, d) => {
+      val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+      val toks = split(trim(col("text")), "\\s+")
+      val nStop = size(filter(toks, tk => tk.isInCollection(stop))).cast("long")
+      t(s, d, "documents").select(col("doc_id"),
+        nStop.as("n_stop"),
+        round(nStop.cast("double") / size(toks).cast("double"), 6).as("stop_ratio"))
+    }),
+
+    // ---- embeddings: exact cosine near-dup pairs (brute force = the
+    // correctness anchor; q31's LSH buckets are the 10^12-row scale path) ----
+    "q32_embed_dup_pairs" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      val e = t(s, d, "embeddings")
+      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
+        .filter(gf.cosine_sim(col("ea"), col("eb")) >= 0.451)
+        .select(col("vec_a"), col("vec_b"))
+    }),
+
     // ---- text pipeline: hash-based (no SQL oracle; scalatest-covered) ----
     "q23_fingerprint_dedup" -> ((s, d) => {
       graft.functions.registerAll(s)
@@ -377,6 +408,30 @@ object SparkEntry {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
         .select(col("query_id"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim"))
+    }),
+
+    // ---- multimodal binary columns (stub decode; scalatest-covered) ----
+    "q33_media_features" -> ((s, d) => {
+      import graft.pipeline.Multimodal
+      Multimodal.decodeFeatures(Multimodal.withMedia(t(s, d, "documents")))
+        .select(col("doc_id"), col("media_type"),
+          round(element_at(col("feature"), 1).cast("double"), 6).as("f0"))
+    }),
+
+    "q34_frame_sample" -> ((s, d) => {
+      import graft.pipeline.Multimodal
+      Multimodal.sampleFrames(Multimodal.withMedia(t(s, d, "documents")), everyN = 2)
+        .select(col("doc_id"), col("frame_idx"), length(col("frame_bytes")).as("n_bytes"))
+    }),
+
+    "q35_media_meta" -> ((s, d) => {
+      import graft.pipeline.Multimodal
+      Multimodal.withMedia(t(s, d, "documents"))
+        .select(col("doc_id"), col("media_type"),
+          col("media_meta.width").as("width"), col("media_meta.height").as("height"),
+          col("media_meta.sample_rate").as("sample_rate"),
+          col("media_meta.n_frames").as("n_frames"),
+          col("media_meta.n_bytes").as("n_bytes"))
     }),
 
     // ---- geo pipeline (J4/J1/W3/A1/F4/R1/R2/J5/J6 — scalatest-covered) ----
@@ -571,6 +626,37 @@ object SparkEntry {
         |    CAST(length(text) AS BIGINT) AS n_chars,
         |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
         |  FROM documents)""".stripMargin,
+
+    "q28_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9''\s]+|\s+')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q29_stopword_ratio" ->
+      """SELECT doc_id, n_stop,
+        |  round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t IN ('the','a','and','of','to','in','is','it','for','on'))) AS BIGINT) AS n_stop,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents)""".stripMargin,
+
+    "q32_embed_dup_pairs" ->
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.451""".stripMargin,
+
+    "q35_media_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 4 + 1) * 64 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN (doc_id % 3 + 1) * 64 END AS INT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 END AS INT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 16 END AS INT) AS n_frames,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 64 WHEN doc_id % 3 = 1 THEN 128 ELSE 256 END AS INT) AS n_bytes
+        |FROM documents""".stripMargin,
 
     "q30_knn_brute" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8)
