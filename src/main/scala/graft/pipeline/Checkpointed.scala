@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/**
+ * Bucket-manifest checkpointing for the BATCH pipeline (north rule:
+ * "resumable from checkpoint with per-partition lineage + metrics").
+ *
+ * The reference is implicitly resumable: a rerun overwrites per-hole PNGs
+ * idempotently and skips nothing (`/root/reference/src/main/main.js:183-194`
+ * kills mid-run; partial outputs persist). This module makes that explicit
+ * and exact: the url-space is hash-partitioned into `nBuckets` buckets,
+ * each bucket's join output is committed via dynamic partition overwrite
+ * (a half-written bucket is fully rewritten on retry — never duplicated),
+ * and a one-file-per-bucket manifest records completion plus lineage
+ * metrics: input rows, output rows, wall ms, and the xor-of-hashes text
+ * checksum that carries the byte-identity invariant (`input_hint`).
+ *
+ * At 10^12 rows each "bucket" is the resume unit a scheduler retries —
+ * orders of magnitude coarser than tasks (Spark retries those itself),
+ * fine enough that a preempted cluster loses minutes, not days.
+ */
+object Checkpointed {
+
+  final case class BucketLineage(bucket: Int, nPages: Long, nAssigned: Long,
+                                 textChecksum: Long, wallMs: Long)
+
+  final case class RunSummary(ranBuckets: Seq[Int], skippedBuckets: Seq[Int],
+                              lineage: Seq[BucketLineage])
+
+  private def manifestDir(outDir: String): Path = Paths.get(outDir, "_manifest")
+
+  /** Buckets already committed (manifest entry exists). */
+  def completedBuckets(outDir: String): Set[Int] = {
+    val dir = manifestDir(outDir)
+    if (!Files.isDirectory(dir)) Set.empty
+    else Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
+        s.stripPrefix("bucket-").stripSuffix(".json").toInt }
+      .toSet
+  }
+
+  /** Lineage rows parsed back from the manifest (the `_metrics` analog of
+    * SURVEY.md §2.1 S6). */
+  def lineage(outDir: String): Seq[BucketLineage] = {
+    val dir = manifestDir(outDir)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else Files.list(dir).iterator().asScala.toSeq
+      .filter(p => p.getFileName.toString.startsWith("bucket-"))
+      .map { p =>
+        val m = Files.readString(p).trim
+        def f(k: String): Long =
+          ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(m).get.group(1).toLong
+        BucketLineage(f("bucket").toInt, f("n_pages"), f("n_assigned"),
+          f("text_checksum"), f("wall_ms"))
+      }.sortBy(_.bucket)
+  }
+
+  /**
+   * Run (or resume) the flagship assignment over `pages`, committing per
+   * bucket. Already-manifested buckets are not read, joined, or written
+   * again — the filter on the bucket column prunes them before the join.
+   * Returns the summary including per-bucket lineage for THIS run.
+   */
+  def runAssign(pages: DataFrame, cover: DataFrame, bounds: DataFrame,
+                outDir: String, nBuckets: Int,
+                maxBuckets: Int = Int.MaxValue): RunSummary = {
+    val spark = pages.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val done = completedBuckets(outDir)
+    val all = 0 until nBuckets
+    // `maxBuckets` bounds one invocation's work — the incremental/preempted
+    // operation mode; the next invocation picks up where this one committed
+    val todo = all.filterNot(done).take(maxBuckets)
+    if (todo.isEmpty) return RunSummary(Nil, done.toSeq.sorted, lineage(outDir))
+
+    val bucketed = pages
+      .withColumn("bucket", pmod(xxhash64(col("url")), lit(nBuckets)).cast("int"))
+      .filter(col("bucket").isin(todo: _*))
+
+    val t0 = System.nanoTime()
+    // input-side lineage (counted on the same pass shape as the join input)
+    val inCounts = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("n_pages"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+    val assigned = SpatialJoin
+      .assignPagesFlat(bucketed, cover, bounds)
+
+    // dynamic partition overwrite: only the buckets present in this write
+    // are replaced — a crashed previous attempt's partial bucket files are
+    // overwritten wholesale, never appended to
+    assigned.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("bucket")
+      .parquet(s"$outDir/data")
+
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    // output-side lineage from what was actually committed
+    val outStats = spark.read.parquet(s"$outDir/data")
+      .filter(col("bucket").isin(todo: _*))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_assigned"),
+        // xor-fold of row hashes is order/partitioning independent (and
+        // cannot overflow) — the same checksum at any parallelism level
+        expr("bit_xor(xxhash64(text))").as("text_checksum"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val dir = manifestDir(outDir)
+    Files.createDirectories(dir)
+    val ran = todo.map { b =>
+      val (nAssigned, checksum) = outStats.getOrElse(b, (0L, 0L))
+      val lin = BucketLineage(b, inCounts.getOrElse(b, 0L), nAssigned, checksum, wallMs)
+      val tmp = dir.resolve(s".bucket-$b.json.tmp")
+      Files.writeString(tmp,
+        s"""{"bucket":${lin.bucket},"n_pages":${lin.nPages},"n_assigned":${lin.nAssigned},""" +
+          s""""text_checksum":${lin.textChecksum},"wall_ms":${lin.wallMs}}""")
+      // atomic rename = the bucket's commit point
+      Files.move(tmp, dir.resolve(s"bucket-$b.json"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      lin
+    }
+    RunSummary(todo, done.toSeq.sorted, ran)
+  }
+}

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import java.util.concurrent.ConcurrentLinkedQueue
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.pipeline.SpatialJoin
+
+/**
+ * Structured-Streaming form of the engine (SURVEY.md §2.9 T1-T3).
+ *
+ * The reference streams per-hole completion events over a stdout pipe
+ * (`/root/reference/src/python/plot_courses.py:317`) that the Electron
+ * shell consumes incrementally (`/root/reference/src/main/main.js:136-151`)
+ * and can cancel with SIGTERM, resuming by idempotent rerun
+ * (`main.js:183-194`). Here that becomes: a file-source micro-batch stream
+ * of page batches, the same broadcast cover-join per batch (stateless),
+ * exactly-once resume from the streaming checkpoint (the principled form
+ * of the reference's rerun-overwrite idempotence), and per-batch progress
+ * events via [[StreamingQueryListener]] instead of stdout lines.
+ */
+object PageStream {
+
+  /** Input schema — the BASELINE.json `input_hint` page shape + geocode. */
+  val pageSchema: StructType = StructType(Seq(
+    StructField("page_id", LongType),
+    StructField("url", StringType),
+    StructField("warc_ts", TimestampType),
+    StructField("html", BinaryType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("lon", DoubleType),
+    StructField("lat", DoubleType)))
+
+  /** Unbounded pages table over a directory of parquet batch files. */
+  def pagesStream(spark: SparkSession, inputDir: String, maxFilesPerTrigger: Int = 4): DataFrame =
+    spark.readStream
+      .schema(pageSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(inputDir)
+
+  /**
+   * T1 — the flagship spatial join as an incremental query: each
+   * micro-batch of pages is cover-probed and PIP-refined against the
+   * broadcast polygon index (stateless — no watermark or state store
+   * needed), appended to `outDir`. `Trigger.AvailableNow` drains whatever
+   * input exists then stops, which makes stop/resume deterministic to
+   * test; production would run the default continuous micro-batch trigger.
+   *
+   * Exactly-once: the file-source offsets + parquet sink commit log live
+   * in `checkpointDir`, so a killed query (T2 cancellation) restarted with
+   * the same checkpoint reprocesses nothing and loses nothing.
+   */
+  def assignQuery(pages: DataFrame, cover: DataFrame, bounds: DataFrame,
+                  outDir: String, checkpointDir: String): StreamingQuery =
+    SpatialJoin.assignPagesFlat(pages, cover, bounds)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Event-time tumbling-window counts with a watermark — the streaming
+    * form of q17; rows later than the watermark are dropped, finalized
+    * windows emit exactly once in append mode. */
+  def windowedCounts(pages: DataFrame, watermark: String = "1 hour",
+                     width: String = "1 hour"): DataFrame =
+    pages
+      .withWatermark("warc_ts", watermark)
+      // the window struct itself must be the grouping key: that is what
+      // carries the event-time metadata the watermark finalizes against
+      .groupBy(window(col("warc_ts"), width), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("lang"), col("n"))
+
+  /**
+   * Materialize a (small) batch-built dimension — the cover index, the
+   * boundary dim — into a local relation so it can join a streaming frame.
+   * Production-shaped: the cover is a built-once artifact broadcast to the
+   * join, not a live sub-query re-planned per micro-batch; collapsing its
+   * build lineage is exactly what "publish the index" means.
+   */
+  def localizeDim(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+  }
+
+  /** One progress event per completed micro-batch — the analog of the
+    * reference's `"Generated image: <path>"` lines. */
+  final case class Progress(batchId: Long, numInputRows: Long, sink: String)
+
+  /**
+   * T1 consumer side: a listener that turns query progress into the same
+   * line protocol the reference's Electron shell parsed, plus a queue the
+   * embedding application can drain (the `update-preview` analog).
+   */
+  final class ProgressLog(quiet: Boolean = true) extends StreamingQueryListener {
+    val events = new ConcurrentLinkedQueue[Progress]()
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = Progress(e.progress.batchId, e.progress.numInputRows, e.progress.sink.description)
+      events.add(p)
+      if (!quiet) println(s"Generated batch: ${p.batchId} rows=${p.numInputRows}")
+    }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+}

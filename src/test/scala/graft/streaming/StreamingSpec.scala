@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+import graft.data.{Courses, Pages}
+import graft.pipeline.{CourseEngine, SpatialJoin}
+
+/** Structured-Streaming engine surface: incremental spatial join with
+  * exactly-once stop/resume (T1+T2), progress events (T1 consumer side),
+  * watermarked event-time windows. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = graft.expr.SparkTestSession.spark
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private lazy val bounds = PageStream.localizeDim(
+    CourseEngine.boundaries(Courses.itemsDf(spark, SparkEntry.NCourses)))
+  private lazy val cover = PageStream.localizeDim(SpatialJoin.coverDfFlat(bounds))
+  private lazy val allPages = Pages.pages(spark, sfDir, SparkEntry.Amp).cache()
+
+  test("streaming assign: stop, add input, resume from checkpoint — exactly-once") {
+    val base = Files.createTempDirectory("graft-stream").toString
+    val (in, out, ckpt) = (s"$base/in", s"$base/out", s"$base/ckpt")
+    Files.createDirectories(java.nio.file.Paths.get(in))
+
+    val expectedTotal = SpatialJoin.assignPagesFlat(allPages, cover, bounds).count()
+    assert(expectedTotal > 0)
+
+    // chunk 1 arrives; run to drain, then the query stops (T2 analog)
+    allPages.filter($"page_id" % 2 === 0).write.mode("append").parquet(in)
+    val log = new PageStream.ProgressLog()
+    spark.streams.addListener(log)
+    try {
+      val q1 = PageStream.assignQuery(PageStream.pagesStream(spark, in), cover, bounds, out, ckpt)
+      q1.awaitTermination()
+      val afterChunk1 = spark.read.parquet(out).count()
+      assert(afterChunk1 > 0 && afterChunk1 < expectedTotal)
+
+      // chunk 2 arrives while "down"; restart with the SAME checkpoint
+      allPages.filter($"page_id" % 2 === 1).write.mode("append").parquet(in)
+      val q2 = PageStream.assignQuery(PageStream.pagesStream(spark, in), cover, bounds, out, ckpt)
+      q2.awaitTermination()
+
+      val result = spark.read.parquet(out)
+      // exactly-once: total matches the batch run, zero duplicates
+      assert(result.count() === expectedTotal)
+      assert(result.select($"url", $"clubId", $"courseId", $"holeNumber")
+        .distinct().count() === expectedTotal)
+
+      // byte-identity invariant holds through the streaming path too
+      val src = allPages.select($"url", $"text")
+      assert(result.select($"url", $"text").distinct()
+        .join(src, Seq("url", "text"), "left_anti").count() === 0)
+
+      // progress events observed (the "Generated image:" analog)
+      val seen = log.events.toArray(Array.empty[PageStream.Progress])
+      assert(seen.nonEmpty)
+      assert(seen.map(_.numInputRows).sum === allPages.count())
+    } finally spark.streams.removeListener(log)
+  }
+
+  test("windowed counts: watermark finalizes windows and drops late rows") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2025-01-01 $h%02d:$m%02d:00")
+    val counts = PageStream.windowedCounts(
+      ms.toDF().toDF("warc_ts", "lang"), watermark = "1 hour", width = "1 hour")
+    val q = counts.writeStream.format("memory").queryName("wc").outputMode("append").start()
+    try {
+      ms.addData((ts(10, 0), "en"), (ts(10, 15), "en"), (ts(10, 20), "de"))
+      q.processAllAvailable()
+      // advance event time to 12:30 -> watermark 11:30 -> hour 10 finalizes
+      ms.addData((ts(12, 30), "en"))
+      q.processAllAvailable()
+      // this 10:xx row is behind the watermark: dropped, not re-emitted
+      ms.addData((ts(10, 30), "en"))
+      q.processAllAvailable()
+      // advance to 14:00 -> watermark 13:00 -> hour 12 finalizes too
+      ms.addData((ts(14, 0), "fr"))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select(date_format($"wstart", "HH").as("h"), $"lang", $"n")
+        .as[(String, String, Long)].collect().toSet
+      assert(rows.contains(("10", "en", 2L))) // late row NOT counted
+      assert(rows.contains(("10", "de", 1L)))
+      assert(rows.contains(("12", "en", 1L)))
+      assert(!rows.exists(_._1 == "14"))      // hour 14 not finalized yet
+    } finally q.stop()
+  }
+}
