@@ -276,22 +276,30 @@ object SparkEntry {
       graft.functions.registerAll(s)
       // n-gram heuristic language id: score against tiny per-language
       // stopword profiles, predict argmax, report confusion counts
-      val profiles = Map(
+      val profiles = Seq(
         "en" -> Seq("the", "and", "of", "to", "a"),
         "es" -> Seq("el", "la", "de", "que", "y"),
         "de" -> Seq("der", "die", "und", "das", "ist"),
         "fr" -> Seq("le", "la", "et", "les", "des"))
-      val withToks = t(s, d, "documents")
-        .withColumn("toks", split(trim(lower(col("text"))), "\\s+"))
-      val scores = profiles.map { case (lang, words) =>
-        lang -> size(array_intersect(col("toks"), array(words.map(lit(_)): _*)))
+      // score each profile ONCE into its own column, then argmax over the
+      // materialized scores — an inlined when-chain fold would duplicate
+      // every score expression 4x per level (exponential re-evaluation)
+      val langs = profiles.map(_._1)
+      val scored = profiles.foldLeft(
+        t(s, d, "documents").withColumn("toks", split(trim(lower(col("text"))), "\\s+"))) {
+        case (df, (lang, words)) =>
+          df.withColumn(s"s_$lang",
+            size(array_intersect(col("toks"), array(words.map(lit(_)): _*))))
       }
-      val best = scores.tail.foldLeft((lit("en"): Column, scores.head._2)) {
-        case ((bl, bs), (lang, sc)) =>
-          (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
-      }
-      withToks
-        .withColumn("pred_lang", when(best._2 > 0, best._1).otherwise(lit("und")))
+      val best = greatest(langs.map(l => col(s"s_$l")): _*)
+      // first profile hitting the max wins — same tie-break as a
+      // strictly-greater scan in profile order
+      val pred = when(best <= 0, lit("und")).otherwise(
+        langs.foldRight(lit("und"): Column) { (lang, acc) =>
+          when(col(s"s_$lang") === best, lit(lang)).otherwise(acc)
+        })
+      scored
+        .withColumn("pred_lang", pred)
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
     }),

@@ -120,4 +120,35 @@ object Courses {
     import spark.implicits._
     spark.createDataset(courses(nCourses, seed)).coalesce(1).write.mode("overwrite").json(path)
   }
+
+  /** S1 — the JSONL course-layout scan (plot_courses.py:327-339) with an
+    * EXPLICIT schema: no sampling inference pass over the (at scale,
+    * enormous) input, and nested-schema pruning stays effective. */
+  def readLayouts(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("clubId", StringType),
+      StructField("courseId", StringType),
+      StructField("holes", ArrayType(StructType(Seq(
+        StructField("gpsItems", ArrayType(StructType(Seq(
+          StructField("itemType", StringType),
+          StructField("shape", ArrayType(StructType(Seq(
+            StructField("longitude", DoubleType),
+            StructField("latitude", DoubleType)))))))))))))))
+    spark.read.schema(schema).json(path)
+  }
+
+  /** Nested layouts -> the flat per-gpsItem frame (same shape as
+    * [[itemsDf]]): 1-based holeNumber via posexplode (plot_courses.py:
+    * 336-338), (lon,lat) -> (x,y) struct projection (:220-222). */
+  def itemsFromLayouts(layouts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    layouts
+      .select(col("clubId"), col("courseId"), posexplode(col("holes")).as(Seq("pos", "hole")))
+      .select(col("clubId"), col("courseId"), (col("pos") + 1).as("holeNumber"),
+        explode(col("hole.gpsItems")).as("item"))
+      .select(col("clubId"), col("courseId"), col("holeNumber"),
+        col("item.itemType").as("itemType"),
+        expr("transform(item.shape, p -> struct(p.longitude AS x, p.latitude AS y))").as("shape"))
+  }
 }
