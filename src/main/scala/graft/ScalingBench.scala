@@ -36,24 +36,53 @@ object ScalingBench {
     } finally spark.stop()
   }
 
+  /** The host's own scaling ceiling for this cpu pair: a pure-compute
+    * (no-IO, no-shuffle, no-allocation) codegen'd fold. On shared/turbo
+    * hardware this is < the core ratio; the engine can't exceed it, so
+    * normalized efficiency = raw efficiency / ceiling efficiency is the
+    * engine's contribution isolated from the host's. */
+  def computeCeiling(cpusA: Int, cpusB: Int, n: Long): (Double, Double) = {
+    def run(cpus: Int): Double = {
+      val spark = Bench.session(cpus.toString)
+      try {
+        spark.range(0, n / 10, 1, cpus * 4)
+          .selectExpr("sum(sin(id * 1e-9) * cos(id * 1e-9))").collect()
+        val t0 = System.nanoTime()
+        spark.range(0, n, 1, cpus * 4)
+          .selectExpr("sum(sin(id * 1e-9) * cos(id * 1e-9))").collect()
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.stop()
+    }
+    val tA = run(cpusA); val tB = run(cpusB)
+    (tA / tB, (tA / tB) / (cpusB.toDouble / cpusA))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else
       sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val amplify = if (args.length > 1) args(1).toInt else 40000
     val repeats = if (args.length > 2) args(2).toInt else 3
-    val (n8, join8, tile8, d8, dense8) = measure(8, sfDir, amplify, repeats)
-    val (n32, join32, tile32, d32, dense32) = measure(32, sfDir, amplify, repeats)
-    require(n8 == n32 && d8 == d32, "same input required at both parallelism levels")
-    val joinEff = (join32 / join8) / 4.0
-    val tileEff = (tile32 / tile8) / 4.0
-    val denseEff = (dense32 / dense8) / 4.0
+    val cpusA = if (args.length > 3) args(3).toInt else 8
+    val cpusB = if (args.length > 4) args(4).toInt else 32
+    val ratio = cpusB.toDouble / cpusA
+    val (nA, joinA, tileA, dA, denseA) = measure(cpusA, sfDir, amplify, repeats)
+    val (nB, joinB, tileB, dB, denseB) = measure(cpusB, sfDir, amplify, repeats)
+    require(nA == nB && dA == dB, "same input required at both parallelism levels")
+    val (ceilSpeedup, ceilEff) = computeCeiling(cpusA, cpusB, 2000000000L)
+    def eff(b: Double, a: Double) = (b / a) / ratio
     println(
-      s"""{"metric":"scaling","pages":$n8,"dense_pages":$d8,"sf":"$sfDir","amplify":$amplify,""" +
-        s""""join_pages_per_sec_8":${join8.toLong},"join_pages_per_sec_32":${join32.toLong},""" +
-        s""""join_scaling_efficiency":${"%.3f".format(joinEff)},""" +
-        s""""dense_join_pages_per_sec_8":${dense8.toLong},"dense_join_pages_per_sec_32":${dense32.toLong},""" +
-        s""""dense_join_scaling_efficiency":${"%.3f".format(denseEff)},""" +
-        s""""tile_pages_per_sec_8":${tile8.toLong},"tile_pages_per_sec_32":${tile32.toLong},""" +
-        s""""tile_scaling_efficiency":${"%.3f".format(tileEff)}}""")
+      s"""{"metric":"scaling","pages":$nA,"dense_pages":$dA,"sf":"$sfDir","amplify":$amplify,""" +
+        s""""cpus_a":$cpusA,"cpus_b":$cpusB,""" +
+        s""""join_pages_per_sec_a":${joinA.toLong},"join_pages_per_sec_b":${joinB.toLong},""" +
+        s""""join_scaling_efficiency":${"%.3f".format(eff(joinB, joinA))},""" +
+        s""""dense_join_pages_per_sec_a":${denseA.toLong},"dense_join_pages_per_sec_b":${denseB.toLong},""" +
+        s""""dense_join_scaling_efficiency":${"%.3f".format(eff(denseB, denseA))},""" +
+        s""""tile_pages_per_sec_a":${tileA.toLong},"tile_pages_per_sec_b":${tileB.toLong},""" +
+        s""""tile_scaling_efficiency":${"%.3f".format(eff(tileB, tileA))},""" +
+        s""""host_compute_ceiling_speedup":${"%.2f".format(ceilSpeedup)},""" +
+        s""""host_compute_ceiling_efficiency":${"%.3f".format(ceilEff)},""" +
+        s""""join_efficiency_vs_ceiling":${"%.3f".format(eff(joinB, joinA) / ceilEff)},""" +
+        s""""dense_join_efficiency_vs_ceiling":${"%.3f".format(eff(denseB, denseA) / ceilEff)},""" +
+        s""""tile_efficiency_vs_ceiling":${"%.3f".format(eff(tileB, tileA) / ceilEff)}}""")
   }
 }

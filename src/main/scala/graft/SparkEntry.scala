@@ -418,6 +418,17 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim"))
     }),
 
+    "q36_ann_ivf" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // IVF-style ANN: probe the 4 nearest of 32 inverted lists, exact
+      // rank within — the clustered-index scale path beside q31's LSH
+      val emb = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      graft.pipeline.Ann.ivfTopK(emb, queriesDf, k = 10, nLists = 32, nProbe = 4)
+        .select(col("query_id"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim"))
+    }),
+
     // ---- multimodal binary columns (stub decode; scalatest-covered) ----
     "q33_media_features" -> ((s, d) => {
       import graft.pipeline.Multimodal

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{functions => gf}
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column
+ * (`ARRAY<FLOAT>`), IVF-style: the corpus is partitioned into `nLists`
+ * inverted lists by nearest coarse centroid; a query probes only the
+ * `nProbe` nearest lists and ranks exactly within them.
+ *
+ * Scale shape: the centroid set is tiny (broadcast); list assignment is a
+ * map-side argmax per vector (one pass, no shuffle of the corpus beyond
+ * the final per-query top-k); candidate generation is an equi-join on
+ * `list_id`. Recall < 1 by construction (a neighbor whose list isn't
+ * probed is missed) — tested against the brute-force oracle.
+ *
+ * The deterministic "trained" quantizer — centroids are just a fixed
+ * id-sample of the corpus — stands in for a k-means pass, which at
+ * production scale runs as a handful of the same assign+mean DataFrame
+ * iterations; the search-side plan is identical either way.
+ */
+object Ann {
+
+  /** Coarse centroids: the nLists corpus vectors with the smallest id
+    * hashes — deterministic, hash-spread, and plans as a distributed
+    * top-k (TakeOrderedAndProject), never a full sort. The row_number
+    * runs on the nLists-row result only. */
+  def centroids(emb: DataFrame, nLists: Int): DataFrame = {
+    val sampled = emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nLists)
+    val w = Window.orderBy(col("vec_id"))
+    sampled.withColumn("list_id", row_number().over(w))
+      .select(col("list_id"), col("embedding").as("cvec"))
+  }
+
+  /** Nearest-centroid assignment: one inverted-list id per vector. */
+  def assign(emb: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("csim").desc, col("list_id"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("csim", gf.cosine_sim(col("embedding"), col("cvec")))
+      .withColumn("crnk", row_number().over(w))
+      .filter(col("crnk") === 1)
+      .select(col("vec_id"), col("list_id"), col("embedding"))
+  }
+
+  /**
+   * Top-k per query over the probed lists. `queries` = (query_id, qvec).
+   * Exact cosine ranking within candidates; ties broken by vec_id.
+   */
+  def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int, nProbe: Int): DataFrame = {
+    val cents = centroids(emb, nLists)
+    val lists = assign(emb, cents)
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("list_id"))
+    val probes = queries.crossJoin(broadcast(cents))
+      .withColumn("csim", gf.cosine_sim(col("qvec"), col("cvec")))
+      .withColumn("prnk", row_number().over(probeW))
+      .filter(col("prnk") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("list_id"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    probes.join(lists, "list_id")
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", gf.cosine_sim(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+}

@@ -57,6 +57,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(multi.nonEmpty)
   }
 
+  test("salted sort-merge variant equals the broadcast join (skew/scale path)") {
+    val p = Pages.pages(spark, sfDir, SparkEntry.Amp)
+    val bcast = SpatialJoin.assignPagesFlat(p, SpatialJoin.coverDfFlat(bounds), bounds)
+      .select($"url", $"clubId", $"courseId", $"holeNumber").collect().toSet
+    val smj = SpatialJoin.assignPagesSmj(p, SpatialJoin.coverDf(bounds), bounds, nSalts = 4)
+      .select($"url", $"clubId", $"courseId", $"holeNumber").collect().toSet
+    assert(smj == bcast && smj.nonEmpty)
+  }
+
   test("semi + anti variants partition the pages exactly") {
     val p = Pages.pages(spark, sfDir, SparkEntry.Amp)
     val total = p.count()
