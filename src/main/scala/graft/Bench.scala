@@ -95,8 +95,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "100").toInt
+    val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "20000").toInt
     val spark = session(cpus)
+    // JIT/codegen warmup: the first plans of a fresh JVM otherwise pay
+    // whole-stage-codegen compilation + JIT for every query after them
+    Seq("q01_pricing_summary", "q14_tile_assign", "q40_course_assign").foreach { q =>
+      try SparkEntry.queries(q)(spark, sfDir).count() catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -207,6 +207,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    "q18_cube" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total"))
+    }),
+
+    // ---- gap sessionization over the events stream table ----
+    "q19_sessionize" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            expr("unix_micros(CAST(ts AS TIMESTAMP)) - unix_micros(CAST(prev_ts AS TIMESTAMP))")
+              > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(byUser))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("t_start"), max(col("ts")).as("t_end"))
+    }),
+
     // ---- text pipeline: dedup / stats / quality (training-data ops) ----
     "q20_dedup_exact" -> ((s, d) => {
       t(s, d, "documents")
@@ -624,6 +646,27 @@ object SparkEntry {
       """
         |SELECT date_trunc('hour', warc_ts) AS wstart, lang, count(*) AS n
         |FROM pages GROUP BY 1, 2""".stripMargin),
+
+    "q18_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q19_sessionize" ->
+      """SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(ts) AS t_start, max(ts) AS t_end
+        |FROM (
+        |  SELECT user_id, ts, event_id,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |        THEN 1 ELSE 0 END AS new_sess
+        |    FROM (
+        |      SELECT user_id, ts, event_id,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events)))
+        |GROUP BY user_id, session_id""".stripMargin,
 
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
