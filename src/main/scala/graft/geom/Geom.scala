@@ -414,6 +414,34 @@ object Geom {
   final val Dpi = 300.0
   final val MarkerSizeM = 3.0
 
+  /** Strict containment against a FLATTENED shell ring ([x0,y0,x1,y1,...])
+    * — the primitive-array form of [[containsStrict]] restricted to the
+    * exterior, shared by the Catalyst refine expression
+    * (`GeoOps.stContainsFlat`) and the compact-index probe
+    * (`SpatialJoin.assignPagesCompact`) so the two join paths are
+    * bit-identical by construction. */
+  def containsFlatShell(flat: Array[Double], px: Double, py: Double): Boolean = {
+    val n = flat.length / 2
+    if (n < 3) return false
+    var inside = false
+    var xj = flat(2 * (n - 1)); var yj = flat(2 * (n - 1) + 1)
+    var i = 0
+    while (i < n) {
+      val xi = flat(2 * i); val yi = flat(2 * i + 1)
+      val cross = (xi - xj) * (py - yj) - (yi - yj) * (px - xj)
+      if (cross == 0.0 &&
+          px >= Math.min(xj, xi) && px <= Math.max(xj, xi) &&
+          py >= Math.min(yj, yi) && py <= Math.max(yj, yi)) return false // on edge
+      if ((yi > py) != (yj > py)) {
+        val xCross = (xj - xi) * (py - yi) / (yj - yi) + xi
+        if (px < xCross) inside = !inside
+      }
+      xj = xi; yj = yi
+      i += 1
+    }
+    inside
+  }
+
   /** (figWidthInches, figHeightInches, aspect, markerPixels) from bounds
     * (west, south, east, north) — utils.py:69-80. */
   def viewport(west: Double, south: Double, east: Double, north: Double): Array[Double] = {

@@ -133,6 +133,54 @@ object SpatialJoin {
         col("holeNumber"): _*)
   }
 
+  /**
+   * The north-star-literal index shape: the whole cover as ONE
+   * `Broadcast[CoverIndex]` — parallel sorted primitive arrays, binary-
+   * search probe — consumed inside a typed `mapPartitions`, no join
+   * operator on the probe side at all. Functionally identical to
+   * [[assignPagesFlat]] (tested); exists because some consumers (custom
+   * partition logic, non-SQL probes) want the index as a data structure
+   * rather than a relation, and as the bench's second shape. The
+   * DataFrame broadcast-hash variants remain the Catalyst-native default:
+   * they keep whole-stage codegen, AQE, and column pruning.
+   */
+  def assignPagesCompact(pages: DataFrame, bounds: DataFrame,
+                         minLevel: Int = MinLevel, maxLevel: Int = MaxLevel): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    // driver-side build (once per polygon-set version, like the broadcast)
+    val feats = bounds
+      .select(col("clubId"), col("courseId"), col("holeNumber"), col("boundary"))
+      .collect()
+    val keys: Array[(String, String, Int)] =
+      feats.map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    def ringFlat(r: org.apache.spark.sql.Row, ringIdx: Int): Array[Double] = {
+      val rings = r.getAs[scala.collection.Seq[scala.collection.Seq[org.apache.spark.sql.Row]]](3)
+      rings(ringIdx).iterator.flatMap(p => Iterator(p.getDouble(0), p.getDouble(1))).toArray
+    }
+    val shells: Array[Array[Double]] = feats.map(ringFlat(_, 0))
+    val entries = feats.iterator.zipWithIndex.flatMap { case (r, fid) =>
+      val poly = (0 until r.getAs[scala.collection.Seq[Any]](3).length)
+        .map(ringFlat(r, _)).toArray
+      graft.index.Cover.cover(poly, minLevel, maxLevel)
+        .iterator.map { case (cell, full) => (cell, fid, full) }
+    }.toSeq
+    val bcIdx = spark.sparkContext.broadcast(graft.index.CoverIndex.build(entries))
+    val bcShells = spark.sparkContext.broadcast(shells)
+    val bcKeys = spark.sparkContext.broadcast(keys)
+    pages.select(col("url"), col("lon"), col("lat")).as[(String, Double, Double)]
+      .mapPartitions { it =>
+        val idx = bcIdx.value; val sh = bcShells.value; val ks = bcKeys.value
+        it.flatMap { case (url, lon, lat) =>
+          idx.probe(lon, lat).iterator.collect {
+            case (fid, full) if full || graft.geom.Geom.containsFlatShell(sh(fid), lon, lat) =>
+              (url, lon, lat, ks(fid)._1, ks(fid)._2, ks(fid)._3)
+          }
+        }
+      }
+      .toDF("url", "lon", "lat", "clubId", "courseId", "holeNumber")
+  }
+
   /** Pages inside at least one course hole (left_semi form of J4). */
   def pagesInAnyCourse(pages: DataFrame, cover: DataFrame, bounds: DataFrame): DataFrame = {
     val hits = assignPages(pages, cover, bounds).select(col("url")).distinct()

@@ -109,4 +109,30 @@ object PageStream {
     }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }
+
+  /**
+   * S6 made durable: every micro-batch appends one lineage row to a
+   * `_metrics` parquet table (batch id, rows, event timestamp, query id) —
+   * the queryable form of the reference's progress lines, and the stream
+   * counterpart of [[graft.pipeline.Checkpointed]]'s per-bucket manifest.
+   */
+  final class MetricsSink(spark: SparkSession, metricsDir: String)
+      extends StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      import spark.implicits._
+      Seq((e.progress.batchId, e.progress.numInputRows, e.progress.timestamp,
+        e.progress.id.toString))
+        .toDF("batch_id", "num_input_rows", "event_ts", "query_id")
+        .coalesce(1).write.mode("append").parquet(metricsDir)
+    }
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+  }
+
+  /** T3 — the reference renderer keeps only the most recent handful of
+    * previews (`renderer.js:35`); relational form: last `n` batches. */
+  def recentBatches(spark: SparkSession, metricsDir: String, n: Int = 5): DataFrame =
+    spark.read.parquet(metricsDir)
+      .orderBy(col("batch_id").desc, col("event_ts").desc)
+      .limit(n)
 }

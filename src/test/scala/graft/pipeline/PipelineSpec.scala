@@ -57,6 +57,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(multi.nonEmpty)
   }
 
+  test("compact sorted-cell-array probe equals the broadcast join") {
+    val p = Pages.pages(spark, sfDir, SparkEntry.Amp)
+    val bcast = SpatialJoin.assignPagesFlat(p, SpatialJoin.coverDfFlat(bounds), bounds)
+      .select($"url", $"clubId", $"courseId", $"holeNumber").collect().toSet
+    val compact = SpatialJoin.assignPagesCompact(p, bounds)
+      .select($"url", $"clubId", $"courseId", $"holeNumber").collect().toSet
+    assert(compact == bcast && compact.nonEmpty)
+  }
+
   test("salted sort-merge variant equals the broadcast join (skew/scale path)") {
     val p = Pages.pages(spark, sfDir, SparkEntry.Amp)
     val bcast = SpatialJoin.assignPagesFlat(p, SpatialJoin.coverDfFlat(bounds), bounds)

@@ -34,7 +34,9 @@ class StreamingSpec extends AnyFunSuite {
     // chunk 1 arrives; run to drain, then the query stops (T2 analog)
     allPages.filter($"page_id" % 2 === 0).write.mode("append").parquet(in)
     val log = new PageStream.ProgressLog()
+    val metrics = new PageStream.MetricsSink(spark, s"$base/_metrics")
     spark.streams.addListener(log)
+    spark.streams.addListener(metrics)
     try {
       val q1 = PageStream.assignQuery(PageStream.pagesStream(spark, in), cover, bounds, out, ckpt)
       q1.awaitTermination()
@@ -61,7 +63,17 @@ class StreamingSpec extends AnyFunSuite {
       val seen = log.events.toArray(Array.empty[PageStream.Progress])
       assert(seen.nonEmpty)
       assert(seen.map(_.numInputRows).sum === allPages.count())
-    } finally spark.streams.removeListener(log)
+
+      // durable _metrics lineage rows agree with the in-memory events (S6),
+      // and the preview-limit consumer reads at most n of them (T3)
+      val m = spark.read.parquet(s"$base/_metrics")
+      assert(m.count() === seen.length)
+      assert(m.agg(sum($"num_input_rows")).head().getLong(0) === allPages.count())
+      assert(PageStream.recentBatches(spark, s"$base/_metrics", 2).count() <= 2)
+    } finally {
+      spark.streams.removeListener(log)
+      spark.streams.removeListener(metrics)
+    }
   }
 
   test("windowed counts: watermark finalizes windows and drops late rows") {
