@@ -3,7 +3,7 @@ package graft.pipeline
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /**
@@ -62,15 +62,20 @@ object Checkpointed {
   }
 
   /**
-   * Run (or resume) the flagship assignment over `pages`, committing per
-   * bucket. Already-manifested buckets are not read, joined, or written
-   * again — the filter on the bucket column prunes them before the join.
-   * Returns the summary including per-bucket lineage for THIS run.
+   * Run (or resume) ANY bucketed stage: `stage` maps the not-yet-committed
+   * slice of the input (which carries a `bucket` column the stage must
+   * PRESERVE) to its output. Already-manifested buckets are not read,
+   * transformed, or written again — the filter on the bucket column prunes
+   * them before the stage runs. Returns this run's per-bucket lineage.
+   *
+   * `checksumCol`: output column whose xor-of-hashes checksum lands in the
+   * manifest (the byte-identity invariant column; any column works).
    */
-  def runAssign(pages: DataFrame, cover: DataFrame, bounds: DataFrame,
-                outDir: String, nBuckets: Int,
-                maxBuckets: Int = Int.MaxValue): RunSummary = {
-    val spark = pages.sparkSession
+  def runStage(input: DataFrame, bucketExpr: Column, outDir: String,
+               nBuckets: Int, maxBuckets: Int = Int.MaxValue,
+               checksumCol: String = "text")
+              (stage: DataFrame => DataFrame): RunSummary = {
+    val spark = input.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val done = completedBuckets(outDir)
     val all = 0 until nBuckets
@@ -79,22 +84,21 @@ object Checkpointed {
     val todo = all.filterNot(done).take(maxBuckets)
     if (todo.isEmpty) return RunSummary(Nil, done.toSeq.sorted, lineage(outDir))
 
-    val bucketed = pages
-      .withColumn("bucket", pmod(xxhash64(col("url")), lit(nBuckets)).cast("int"))
+    val bucketed = input
+      .withColumn("bucket", bucketExpr.cast("int"))
       .filter(col("bucket").isin(todo: _*))
 
     val t0 = System.nanoTime()
-    // input-side lineage (counted on the same pass shape as the join input)
+    // input-side lineage (counted on the same pass shape as the stage input)
     val inCounts = bucketed.groupBy(col("bucket")).agg(count(lit(1)).as("n_pages"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
-    val assigned = SpatialJoin
-      .assignPagesFlat(bucketed, cover, bounds)
+    val staged = stage(bucketed)
 
     // dynamic partition overwrite: only the buckets present in this write
     // are replaced — a crashed previous attempt's partial bucket files are
     // overwritten wholesale, never appended to
-    assigned.write
+    staged.write
       .mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(s"$outDir/data")
@@ -107,7 +111,7 @@ object Checkpointed {
       .agg(count(lit(1)).as("n_assigned"),
         // xor-fold of row hashes is order/partitioning independent (and
         // cannot overflow) — the same checksum at any parallelism level
-        expr("bit_xor(xxhash64(text))").as("text_checksum"))
+        expr(s"bit_xor(xxhash64($checksumCol))").as("text_checksum"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
 
     val dir = manifestDir(outDir)
@@ -126,4 +130,14 @@ object Checkpointed {
     }
     RunSummary(todo, done.toSeq.sorted, ran)
   }
+
+  /** The flagship assignment as a checkpointed stage: url-hash buckets,
+    * text checksum. */
+  def runAssign(pages: DataFrame, cover: DataFrame, bounds: DataFrame,
+                outDir: String, nBuckets: Int,
+                maxBuckets: Int = Int.MaxValue): RunSummary =
+    runStage(pages, pmod(xxhash64(col("url")), lit(nBuckets)), outDir,
+      nBuckets, maxBuckets) { bucketed =>
+      SpatialJoin.assignPagesFlat(bucketed, cover, bounds)
+    }
 }

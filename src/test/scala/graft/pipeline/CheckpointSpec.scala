@@ -57,6 +57,26 @@ class CheckpointSpec extends AnyFunSuite {
     }
   }
 
+  test("any stage checkpoints: tile-mask rasterization resumes by hole bucket") {
+    val out = Files.createTempDirectory("graft-ckpt3").toString
+    val bexpr = pmod(xxhash64($"clubId", $"courseId", $"holeNumber"), lit(4))
+    def stage(b: org.apache.spark.sql.DataFrame) =
+      CourseEngine.tileMasks(b.drop("bucket"), zoom = 16).withColumn("bucket",
+        pmod(xxhash64($"clubId", $"courseId", $"holeNumber"), lit(4)).cast("int"))
+    val r1 = Checkpointed.runStage(bounds, bexpr, out, 4, maxBuckets = 2,
+      checksumCol = "qk")(stage)
+    assert(r1.ranBuckets === Seq(0, 1))
+    val r2 = Checkpointed.runStage(bounds, bexpr, out, 4, checksumCol = "qk")(stage)
+    assert(r2.ranBuckets === Seq(2, 3))
+    val got = spark.read.parquet(s"$out/data")
+      .select($"clubId", $"courseId", $"holeNumber", $"z", $"x", $"y", $"mask")
+    val oneShot = CourseEngine.tileMasks(bounds, zoom = 16)
+      .select($"clubId", $"courseId", $"holeNumber", $"z", $"x", $"y", $"mask")
+    assert(got.count() === oneShot.count())
+    assert(got.exceptAll(oneShot).count() === 0)
+    assert(Checkpointed.lineage(out).map(_.nAssigned).sum === oneShot.count())
+  }
+
   test("a half-written (uncommitted) bucket is rewritten cleanly on retry") {
     val out = Files.createTempDirectory("graft-ckpt2").toString
     val nBuckets = 4
