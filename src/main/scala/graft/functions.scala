@@ -81,9 +81,13 @@ object functions {
     toCol(HyperplaneLsh(toExpr(v), toExpr(bits), toExpr(seed)))
   def fingerprint(s: Column): Column = toCol(Fingerprint(toExpr(s)))
 
-  /** Register every graft function for SQL use (`SELECT st_contains(...)`). */
+  /** Register every graft function for SQL use (`SELECT st_contains(...)`).
+    * Idempotent per session — repeat calls (every query closure calls this
+    * defensively) don't re-register or warn. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("st_contains")))
+      return
     def r(name: String, builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression): Unit =
       reg.createOrReplaceTempFunction(name, builder, "built-in")
