@@ -76,6 +76,37 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful sessionization: gap-close and timeout-close, exactly once") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2025-01-01 $h%02d:$m%02d:00")
+    val out = Sessionize.sessions(
+      ms.toDF().toDF("user_id", "ts"), gapSec = 1800, watermark = "1 hour")
+    val q = out.writeStream.format("memory").queryName("sess").outputMode("append").start()
+    try {
+      // one open session for user 1
+      ms.addData((1L, ts(10, 0)), (1L, ts(10, 10)))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() === 0) // nothing closed yet
+      // a later event 110min after: closes session 1 by gap
+      ms.addData((1L, ts(12, 0)))
+      q.processAllAvailable()
+      val s1 = spark.table("sess").as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().toSet
+      assert(s1 === Set((1L, ts(10, 0), ts(10, 10), 2L)))
+      // another user far in the future pushes the watermark past user 1's
+      // open-session timeout: it closes by timeout
+      ms.addData((2L, ts(20, 0)))
+      q.processAllAvailable()
+      ms.addData((2L, ts(20, 1))) // one more batch so the timeout fires
+      q.processAllAvailable()
+      val s2 = spark.table("sess").as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().toSet
+      assert(s2.contains((1L, ts(12, 0), ts(12, 0), 1L)))
+      assert(s2.size === 2) // no duplicates, user 2's session still open
+    } finally q.stop()
+  }
+
   test("windowed counts: watermark finalizes windows and drops late rows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String)]
