@@ -81,6 +81,53 @@ object functions {
     toCol(HyperplaneLsh(toExpr(v), toExpr(bits), toExpr(seed)))
   def fingerprint(s: Column): Column = toCol(Fingerprint(toExpr(s)))
 
+  type Builder = Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+    org.apache.spark.sql.catalyst.expressions.Expression
+
+  /** Every SQL-exposed function: name -> expression builder. Consumed by
+    * [[registerAll]] (imperative registration) and [[graft.GraftExtensions]]
+    * (`spark.sql.extensions` injection at session build). */
+  val builders: Seq[(String, Builder)] = Seq(
+    "closed_ring" -> ((e => ClosedRing(e.head)): Builder),
+    "gaussian_smooth" -> ((e => GaussianSmooth(e(0), e(1))): Builder),
+    "make_polygon" -> ((e => MakePolygon(e.head)): Builder),
+    "st_contains" -> ((e => StContains(e(0), e(1), e(2))): Builder),
+    "st_covers" -> ((e => StCovers(e(0), e(1), e(2))): Builder),
+    "flatten_shell" -> ((e => FlattenShell(e.head)): Builder),
+    "st_contains_flat" -> ((e => StContainsFlat(e(0), e(1), e(2))): Builder),
+    "st_isvalid" -> ((e => StIsValid(e.head)): Builder),
+    "st_intersection" -> ((e => StIntersection(e(0), e(1))): Builder),
+    "st_envelope" -> ((e => StEnvelope(e.head)): Builder),
+    "st_area" -> ((e => StArea(e.head)): Builder),
+    "st_distance_m" -> ((e => StDistanceM(e(0), e(1), e(2), e(3))): Builder),
+    "viewport" -> ((e => Viewport(e(0), e(1), e(2), e(3))): Builder),
+    "cell_id" -> ((e => CellId(e(0), e(1), e(2))): Builder),
+    "cell_parent" -> ((e => CellParent(e(0), e(1))): Builder),
+    "cell_level" -> ((e => CellLevel(e.head)): Builder),
+    "cell_x" -> ((e => CellX(e.head)): Builder),
+    "cell_y" -> ((e => CellY(e.head)): Builder),
+    "ring_cells" -> ((e => RingCells(e(0), e(1))): Builder),
+    "disk_cells" -> ((e => DiskCells(e(0), e(1))): Builder),
+    "cell_center" -> ((e => CellCenter(e.head)): Builder),
+    "cell_min_distance_m" -> ((e => CellMinDistanceM(e(0), e(1), e(2))): Builder),
+    "tile_x" -> ((e => TileX(e(0), e(1))): Builder),
+    "tile_y" -> ((e => TileY(e(0), e(1))): Builder),
+    "quadkey" -> ((e => QuadkeyExpr(e(0), e(1), e(2))): Builder),
+    "cover_cells" -> ((e => CoverCells(e(0), e(1), e(2))): Builder),
+    "hash_text" -> ((e => HashText(e.head)): Builder),
+    "word_shingles" -> ((e => WordShingles(e(0), e(1))): Builder),
+    "char_shingles" -> ((e => CharShingles(e(0), e(1))): Builder),
+    "hashed_char_shingles" -> ((e => HashedCharShingles(e(0), e(1))): Builder),
+    "hashed_word_shingles" -> ((e => HashedWordShingles(e(0), e(1))): Builder),
+    "sorted_jaccard" -> ((e => SortedJaccard(e(0), e(1))): Builder),
+    "minhash" -> ((e => MinHash(e(0), e(1), e(2))): Builder),
+    "lsh_bands" -> ((e => LshBands(e(0), e(1))): Builder),
+    "simhash" -> ((e => SimHash(e.head)): Builder),
+    "hamming_dist" -> ((e => HammingDist(e(0), e(1))): Builder),
+    "cosine_sim" -> ((e => CosineSim(e(0), e(1))): Builder),
+    "hyperplane_lsh" -> ((e => HyperplaneLsh(e(0), e(1), e(2))): Builder),
+    "fingerprint" -> ((e => Fingerprint(e.head)): Builder))
+
   /** Register every graft function for SQL use (`SELECT st_contains(...)`).
     * Idempotent per session — repeat calls (every query closure calls this
     * defensively) don't re-register or warn. */
@@ -88,47 +135,8 @@ object functions {
     val reg = spark.sessionState.functionRegistry
     if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("st_contains")))
       return
-    def r(name: String, builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        org.apache.spark.sql.catalyst.expressions.Expression): Unit =
-      reg.createOrReplaceTempFunction(name, builder, "built-in")
-    r("closed_ring", e => ClosedRing(e.head))
-    r("gaussian_smooth", e => GaussianSmooth(e(0), e(1)))
-    r("make_polygon", e => MakePolygon(e.head))
-    r("st_contains", e => StContains(e(0), e(1), e(2)))
-    r("st_covers", e => StCovers(e(0), e(1), e(2)))
-    r("flatten_shell", e => FlattenShell(e.head))
-    r("st_contains_flat", e => StContainsFlat(e(0), e(1), e(2)))
-    r("st_isvalid", e => StIsValid(e.head))
-    r("st_intersection", e => StIntersection(e(0), e(1)))
-    r("st_envelope", e => StEnvelope(e.head))
-    r("st_area", e => StArea(e.head))
-    r("st_distance_m", e => StDistanceM(e(0), e(1), e(2), e(3)))
-    r("viewport", e => Viewport(e(0), e(1), e(2), e(3)))
-    r("cell_id", e => CellId(e(0), e(1), e(2)))
-    r("cell_parent", e => CellParent(e(0), e(1)))
-    r("cell_level", e => CellLevel(e.head))
-    r("cell_x", e => CellX(e.head))
-    r("cell_y", e => CellY(e.head))
-    r("ring_cells", e => RingCells(e(0), e(1)))
-    r("disk_cells", e => DiskCells(e(0), e(1)))
-    r("cell_center", e => CellCenter(e.head))
-    r("cell_min_distance_m", e => CellMinDistanceM(e(0), e(1), e(2)))
-    r("tile_x", e => TileX(e(0), e(1)))
-    r("tile_y", e => TileY(e(0), e(1)))
-    r("quadkey", e => QuadkeyExpr(e(0), e(1), e(2)))
-    r("cover_cells", e => CoverCells(e(0), e(1), e(2)))
-    r("hash_text", e => HashText(e.head))
-    r("word_shingles", e => WordShingles(e(0), e(1)))
-    r("char_shingles", e => CharShingles(e(0), e(1)))
-    r("hashed_char_shingles", e => HashedCharShingles(e(0), e(1)))
-    r("hashed_word_shingles", e => HashedWordShingles(e(0), e(1)))
-    r("sorted_jaccard", e => SortedJaccard(e(0), e(1)))
-    r("minhash", e => MinHash(e(0), e(1), e(2)))
-    r("lsh_bands", e => LshBands(e(0), e(1)))
-    r("simhash", e => SimHash(e.head))
-    r("hamming_dist", e => HammingDist(e(0), e(1)))
-    r("cosine_sim", e => CosineSim(e(0), e(1)))
-    r("hyperplane_lsh", e => HyperplaneLsh(e(0), e(1), e(2)))
-    r("fingerprint", e => Fingerprint(e.head))
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 }
