@@ -107,6 +107,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamed sessions are a prefix of the batch sessionization (q19 parity)") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // batch oracle: the q19 definition
+    val batch = graft.SparkEntry.queries("q19_sessionize")(spark, sfDir)
+      .select($"user_id", $"t_start", $"t_end", $"n_events")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    // stream the same rows through the stateful operator; AvailableNow
+    // drains the input, so only watermark-closed sessions emit — a strict
+    // subset of the batch result, never a contradiction of it
+    val base = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    events.select($"user_id", $"ts").write.parquet(s"$base/in")
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP_NTZ")
+      .parquet(s"$base/in")
+    val q = Sessionize.sessions(stream, gapSec = 1800, watermark = "1 minute")
+      .writeStream.format("memory").queryName("sess_par").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sess_par")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    val contradictions = streamed -- batch
+    assert(contradictions.isEmpty, s"streamed sessions not in batch: ${contradictions.take(3)}")
+  }
+
   test("windowed counts: watermark finalizes windows and drops late rows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String)]
