@@ -100,7 +100,9 @@ object Courses {
   }
 
   /** Flat per-gpsItem DataFrame: clubId, courseId, holeNumber (1-based,
-    * posexplode — reference plot_courses.py:336-338), itemType, shape as
+    * posexplode — reference plot_courses.py:336-338), itemSeq (0-based
+    * position within the hole's gpsItems — the deterministic "file order"
+    * the reference's first-boundary scan relies on), itemType, shape as
     * ARRAY<STRUCT<x,y>> in (lon,lat) order (reference :220-222). */
   def itemsDf(spark: SparkSession, nCourses: Int, seed: Long = 42L): DataFrame = {
     import spark.implicits._
@@ -108,8 +110,8 @@ object Courses {
     val ds = spark.createDataset(courses(nCourses, seed))
     ds.select($"clubId", $"courseId", posexplode($"holes").as(Seq("pos", "hole")))
       .select($"clubId", $"courseId", ($"pos" + 1).as("holeNumber"),
-        explode($"hole.gpsItems").as("item"))
-      .select($"clubId", $"courseId", $"holeNumber",
+        posexplode($"hole.gpsItems").as(Seq("itemSeq", "item")))
+      .select($"clubId", $"courseId", $"holeNumber", $"itemSeq",
         $"item.itemType".as("itemType"),
         expr("transform(item.shape, p -> struct(p.longitude AS x, p.latitude AS y))").as("shape"))
   }
@@ -146,8 +148,8 @@ object Courses {
     layouts
       .select(col("clubId"), col("courseId"), posexplode(col("holes")).as(Seq("pos", "hole")))
       .select(col("clubId"), col("courseId"), (col("pos") + 1).as("holeNumber"),
-        explode(col("hole.gpsItems")).as("item"))
-      .select(col("clubId"), col("courseId"), col("holeNumber"),
+        posexplode(col("hole.gpsItems")).as(Seq("itemSeq", "item")))
+      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemSeq"),
         col("item.itemType").as("itemType"),
         expr("transform(item.shape, p -> struct(p.longitude AS x, p.latitude AS y))").as("shape"))
   }

@@ -133,7 +133,10 @@ object functions {
     * defensively) don't re-register or warn. */
   def registerAll(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("st_contains")))
+    // idempotence sentinel: a graft-unique name, so a foreign library's
+    // st_contains can never suppress (or be shadowed silently by) ours
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("hashed_char_shingles")))
       return
     builders.foreach { case (name, b) =>
       reg.createOrReplaceTempFunction(name, b, "built-in")

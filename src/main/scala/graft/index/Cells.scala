@@ -161,10 +161,20 @@ object Cells {
     * the lower bound that terminates kNN ring expansion. */
   def minDistanceM(id: Long, lon: Double, lat: Double): Double = {
     val e = envelope(id)
-    // closest point on the lat/lon rectangle (ignoring antimeridian wrap
-    // inside one cell, which a single cell never spans at level >= 1)
-    val clon = if (lon < e(0)) e(0) else if (lon > e(2)) e(2) else lon
     val clat = if (lat < e(1)) e(1) else if (lat > e(3)) e(3) else lat
+    // closest lon on the cell's [w, e] span IN WRAPPED ANGULAR TERMS: a
+    // point just west of the antimeridian is nearest the cell's EAST edge
+    // when the cell hugs the antimeridian's other side — linear clamping
+    // would pick the far edge and break the lower-bound contract
+    val clon =
+      if (lon >= e(0) && lon <= e(2)) lon
+      else {
+        def wrapped(a: Double, b: Double): Double = {
+          val d = Math.abs(a - b) % 360.0
+          if (d > 180.0) 360.0 - d else d
+        }
+        if (wrapped(lon, e(0)) <= wrapped(lon, e(2))) e(0) else e(2)
+      }
     graft.geom.Geom.haversineM(lon, lat, clon, clat)
   }
 }

@@ -147,12 +147,24 @@ final class CoverIndex private (
     * cell at each cover level present in the index. */
   def probe(lon: Double, lat: Double): IndexedSeq[(Int, Boolean)] = {
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Boolean)]
+    probeEach(lon, lat)((fid, full) => buf += ((fid, full)))
+    buf.toIndexedSeq
+  }
+
+  /** Allocation-free probe (hot path): invokes `f` per candidate entry,
+    * walking the primitive arrays directly — the 96%-miss case touches
+    * only `levels.length` binary searches and allocates nothing. */
+  def probeEach(lon: Double, lat: Double)(f: (Int, Boolean) => Unit): Unit = {
     var li = 0
     while (li < levels.length) {
-      buf ++= lookup(Cells.cellId(lon, lat, levels(li)))
+      val i = java.util.Arrays.binarySearch(cells, Cells.cellId(lon, lat, levels(li)))
+      if (i >= 0) {
+        var e = offsets(i)
+        val end = offsets(i + 1)
+        while (e < end) { f(featureIdx(e), fullFlags(e)); e += 1 }
+      }
       li += 1
     }
-    buf.toIndexedSeq
   }
 
   def nCells: Int = cells.length

@@ -36,16 +36,20 @@ object Ann {
       .select(col("list_id"), col("embedding").as("cvec"))
   }
 
-  /** Nearest-centroid assignment: one inverted-list id per vector. */
-  def assign(emb: DataFrame, cents: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("csim").desc, col("list_id"))
+  /** Nearest-centroid assignment: one inverted-list id per vector. The
+    * argmax is a `max_by` AGGREGATE, not a window: partial (map-side)
+    * aggregation collapses each vector's nLists scored copies before the
+    * exchange, so the shuffle carries one row per vector instead of
+    * nLists copies of the embedding column. Ties break to the smallest
+    * list_id (the negated id in the ordering struct). */
+  def assign(emb: DataFrame, cents: DataFrame): DataFrame =
     emb.crossJoin(broadcast(cents))
       .withColumn("csim", gf.cosine_sim(col("embedding"), col("cvec")))
-      .withColumn("crnk", row_number().over(w))
-      .filter(col("crnk") === 1)
+      .groupBy(col("vec_id"))
+      .agg(
+        expr("max_by(list_id, struct(csim, -list_id))").as("list_id"),
+        first(col("embedding")).as("embedding"))
       .select(col("vec_id"), col("list_id"), col("embedding"))
-  }
 
   /**
    * Top-k per query over the probed lists. `queries` = (query_id, qvec).

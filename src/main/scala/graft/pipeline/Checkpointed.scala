@@ -34,23 +34,27 @@ object Checkpointed {
 
   private def manifestDir(outDir: String): Path = Paths.get(outDir, "_manifest")
 
-  /** Buckets already committed (manifest entry exists). */
-  def completedBuckets(outDir: String): Set[Int] = {
+  private def listManifest(outDir: String): Seq[Path] = {
     val dir = manifestDir(outDir)
-    if (!Files.isDirectory(dir)) Set.empty
-    else Files.list(dir).iterator().asScala
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toVector finally s.close()
+    }
+  }
+
+  /** Buckets already committed (manifest entry exists). */
+  def completedBuckets(outDir: String): Set[Int] =
+    listManifest(outDir)
       .map(_.getFileName.toString)
       .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
         s.stripPrefix("bucket-").stripSuffix(".json").toInt }
       .toSet
-  }
 
   /** Lineage rows parsed back from the manifest (the `_metrics` analog of
     * SURVEY.md §2.1 S6). */
-  def lineage(outDir: String): Seq[BucketLineage] = {
-    val dir = manifestDir(outDir)
-    if (!Files.isDirectory(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala.toSeq
+  def lineage(outDir: String): Seq[BucketLineage] =
+    listManifest(outDir)
       .filter(p => p.getFileName.toString.startsWith("bucket-"))
       .map { p =>
         val m = Files.readString(p).trim
@@ -59,7 +63,6 @@ object Checkpointed {
         BucketLineage(f("bucket").toInt, f("n_pages"), f("n_assigned"),
           f("text_checksum"), f("wall_ms"))
       }.sortBy(_.bucket)
-  }
 
   /**
    * Run (or resume) ANY bucketed stage: `stage` maps the not-yet-committed

@@ -25,7 +25,10 @@ object CourseEngine {
     * gaussian-smoothed (sigma=1), re-closed, polygonized (null if
     * degenerate). P3 + F1 + F2 + F3. */
   def boundaries(items: DataFrame): DataFrame = {
-    val w = Window.partitionBy(holeKey.map(col): _*).orderBy(monotonically_increasing_id())
+    // "first" = smallest itemSeq (position within the hole's gpsItems) —
+    // deterministic at any partitioning/split layout, unlike a
+    // monotonically_increasing_id tiebreak
+    val w = Window.partitionBy(holeKey.map(col): _*).orderBy(col("itemSeq"))
     items
       .filter(col("itemType") === "HoleBoundary")            // P3 selection
       .withColumn("rn", row_number().over(w))

@@ -112,7 +112,7 @@ object Multimodal {
         struct(lit(w).as("width"), lit(h).as("height"),
           lit(null).cast("int").as("sample_rate"),
           lit(null).cast("int").as("n_frames"),
-          lit(2L * BlockBytes).as("n_bytes")).as("media_meta"))
+          lit(2 * BlockBytes).cast("int").as("n_bytes")).as("media_meta"))
 }
 
 /**

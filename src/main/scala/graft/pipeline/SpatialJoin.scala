@@ -171,11 +171,16 @@ object SpatialJoin {
     pages.select(col("url"), col("lon"), col("lat")).as[(String, Double, Double)]
       .mapPartitions { it =>
         val idx = bcIdx.value; val sh = bcShells.value; val ks = bcKeys.value
+        // one reusable buffer per partition; probeEach allocates nothing on
+        // the (dominant) miss path
+        val hits = new scala.collection.mutable.ArrayBuffer[(String, Double, Double, String, String, Int)](4)
         it.flatMap { case (url, lon, lat) =>
-          idx.probe(lon, lat).iterator.collect {
-            case (fid, full) if full || graft.geom.Geom.containsFlatShell(sh(fid), lon, lat) =>
-              (url, lon, lat, ks(fid)._1, ks(fid)._2, ks(fid)._3)
+          hits.clear()
+          idx.probeEach(lon, lat) { (fid, full) =>
+            if (full || graft.geom.Geom.containsFlatShell(sh(fid), lon, lat))
+              hits += ((url, lon, lat, ks(fid)._1, ks(fid)._2, ks(fid)._3))
           }
+          if (hits.isEmpty) Iterator.empty else hits.toList.iterator
         }
       }
       .toDF("url", "lon", "lat", "clubId", "courseId", "holeNumber")
@@ -211,26 +216,41 @@ object SpatialJoin {
         ((col("env.miny") + col("env.maxy")) / 2).as("clat"))
     val expanded = centroids
       .withColumn("cell", explode(disk_cells(cell_id(col("clon"), col("clat"), lit(level)), lit(radius))))
-    val probed = pages
+    val w = Window.partitionBy(col("url"))
+      .orderBy(col("dist_m"), col("clubId"), col("courseId"), col("holeNumber"))
+    val urlW = Window.partitionBy(col("url"))
+    // Exactness certificate: a centroid OUTSIDE the radius-disk is >=
+    // radius+1 cells away in Chebyshev terms, i.e. separated by >= radius
+    // full cells along some axis — at least `radius * min(cell-height,
+    // cell-width@lat) meters` away. deg->m underestimated (110 km/deg) and
+    // cos taken at the latitude pushed radius+1 cells poleward, so the
+    // bound is a strict lower bound on any excluded centroid's distance.
+    val cellDeg = 180.0 / (1L << level)
+    val latFar = least(abs(col("lat")) + lit((radius + 1) * cellDeg), lit(89.9))
+    val certBound = lit(radius) * lit(110000.0) * lit(cellDeg) *
+      least(lit(1.0), lit(2.0) * cos(radians(latFar)))
+    val topk = pages
       .withColumn("cell", cell_id(col("lon"), col("lat"), lit(level)))
       .join(broadcast(expanded), "cell")
       .withColumn("dist_m", st_distance_m(col("lon"), col("lat"), col("clon"), col("clat")))
-    val w = Window.partitionBy(col("url"))
-      .orderBy(col("dist_m"), col("clubId"), col("courseId"), col("holeNumber"))
-    val ranked = probed
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-    // completeness fallback: pages with < k candidates within the radius
-    val counts = ranked.groupBy(col("url")).count()
-    val short = pages.join(counts.filter(col("count") >= k), Seq("url"), "left_anti")
-    val brute = short
+      .withColumn("cnt", count(lit(1)).over(urlW))
+      .withColumn("kth", max(col("dist_m")).over(urlW))
+    // certified pages: found k candidates AND the kth is provably closer
+    // than anything the disk could have missed -> exact by construction
+    val certified = topk.filter(col("cnt") >= k && col("kth") < certBound)
+    // everything else (too few in-disk candidates, or kth too far to
+    // certify, e.g. extreme latitudes) -> exact brute force
+    val uncertain = pages.join(
+      certified.select(col("url")).distinct(), Seq("url"), "left_anti")
+    val brute = uncertain
       .crossJoin(broadcast(centroids))
       .withColumn("dist_m", st_distance_m(col("lon"), col("lat"), col("clon"), col("clat")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
     val cols = Seq("url", "lon", "lat", "clubId", "courseId", "holeNumber", "dist_m", "rank")
-    ranked.join(counts.filter(col("count") >= k), Seq("url"), "left_semi")
-      .select(cols.map(col): _*)
+    certified.select(cols.map(col): _*)
       .unionByName(brute.select(cols.map(col): _*))
   }
 

@@ -9,22 +9,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /**
  * Custom-state streaming: gap sessionization over an unbounded event
  * stream via `flatMapGroupsWithState` (the KeyValueGroupedDataset state
- * API) — the streaming twin of the batch q19 query. A session closes
- * when a later event arrives more than `gapSec` after it, or when the
- * watermark passes its timeout (no more on-time events can extend it).
+ * API) — the streaming twin of the batch q19 query.
  *
- * State per user is O(1) (the open session only); emissions are
- * append-mode closed sessions, exactly once per session. At 10^12-event
- * scale the state store shards by user hash across executors — the same
- * partitioning story as every keyed operator here.
+ * Correctness under out-of-order arrival: events are BUFFERED in state
+ * and a session is emitted only once the watermark passes `end + gap` —
+ * the point after which no on-time event can extend it, precede it, or
+ * split it. (Emitting eagerly on gap-detection would mis-sessionize an
+ * on-time event that arrives in a later micro-batch with an earlier
+ * timestamp.) State per user is bounded by gap x event-rate: everything
+ * older than the watermark minus gap has been emitted and dropped.
+ * Emissions are append-mode, exactly once per session, and match the
+ * batch definition (tested against q19 over the real events table).
  */
 object Sessionize {
 
   case class Event(user_id: Long, ts: Timestamp)
-  /** start/last in MICROseconds since epoch — java.sql.Timestamp.getTime
-    * is millis and would silently truncate parquet's micros, shifting
-    * session boundaries off the batch (q19) definition. */
-  case class OpenSession(start: Long, last: Long, n: Long)
+  /** Buffered event times in MICROseconds — java.sql.Timestamp.getTime is
+    * millis and would silently truncate parquet's micros, shifting session
+    * boundaries off the batch (q19) definition. */
+  case class Buffered(times: Array[Long])
   case class Session(user_id: Long, t_start: Timestamp, t_end: Timestamp, n_events: Long)
 
   private def micros(t: Timestamp): Long =
@@ -45,39 +48,41 @@ object Sessionize {
       .withWatermark("ts", watermark)
       .as[Event]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, Session](
+      .flatMapGroupsWithState[Buffered, Session](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+        (userId: Long, batch: Iterator[Event], state: GroupState[Buffered]) =>
           val gapUs = gapSec * 1000000L
-          if (batch.isEmpty && state.hasTimedOut) {
-            // watermark passed the open session's horizon: close and emit
-            val s = state.get
-            state.remove()
-            Iterator.single(Session(userId, toTs(s.start), toTs(s.last), s.n))
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val all = (state.getOption.map(_.times).getOrElse(Array.empty[Long]) ++
+            batch.map(e => micros(e.ts))).sorted
+          if (all.isEmpty) {
+            if (state.exists) state.remove()
+            Iterator.empty
           } else {
-            // micro-batch iterators are NOT time-ordered: sort this batch,
-            // then fold sessions left to right
-            val ts = batch.map(e => micros(e.ts)).toArray.sorted
-            val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
-            var open = state.getOption
-            ts.foreach { t =>
-              open match {
-                case Some(s) if t - s.last > gapUs =>
-                  closed += Session(userId, toTs(s.start), toTs(s.last), s.n)
-                  open = Some(OpenSession(t, t, 1))
-                case Some(s) =>
-                  open = Some(OpenSession(s.start, Math.max(s.last, t), s.n + 1))
-                case None =>
-                  open = Some(OpenSession(t, t, 1))
-              }
+            // fold the time-sorted buffer into (start, end, n) sessions
+            val folded = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+            var s = all(0); var e = all(0); var n = 1L
+            var i = 1
+            while (i < all.length) {
+              val t = all(i)
+              if (t - e > gapUs) { folded += ((s, e, n)); s = t; e = t; n = 1L }
+              else { e = t; n += 1L }
+              i += 1
             }
-            open.foreach { s =>
-              state.update(s)
-              // close via timeout once no on-time event can extend it
-              // (timeout API is millis; rounding up is safe — later is fine)
-              state.setTimeoutTimestamp(s.last / 1000 + gapSec * 1000 + 1)
+            folded += ((s, e, n))
+            // final iff no on-time event (ts >= watermark) can still touch
+            // it: extension/split needs ts - end <= gap, i.e. end + gap >= wm
+            val (closed, open) = folded.partition(x => x._2 + gapUs < wmUs)
+            if (open.isEmpty) state.remove()
+            else {
+              state.update(Buffered(all.filter(_ >= open.head._1)))
+              // wake when the watermark can close the earliest open session
+              // (ms API; +1 keeps it strictly above the current watermark)
+              state.setTimeoutTimestamp((open.head._2 + gapUs) / 1000L + 1L)
             }
-            closed.iterator
+            closed.iterator.map { case (start, end, cnt) =>
+              Session(userId, toTs(start), toTs(end), cnt)
+            }
           }
       }
   }

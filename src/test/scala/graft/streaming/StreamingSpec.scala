@@ -87,23 +87,32 @@ class StreamingSpec extends AnyFunSuite {
       // one open session for user 1
       ms.addData((1L, ts(10, 0)), (1L, ts(10, 10)))
       q.processAllAvailable()
-      assert(spark.table("sess").count() === 0) // nothing closed yet
-      // a later event 110min after: closes session 1 by gap
+      assert(spark.table("sess").count() === 0) // nothing final yet
+      // a later event: gap detected, but the session only becomes FINAL
+      // once the watermark passes its end + gap (out-of-order safety)
       ms.addData((1L, ts(12, 0)))
       q.processAllAvailable()
-      val s1 = spark.table("sess").as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
-        .collect().toSet
-      assert(s1 === Set((1L, ts(10, 0), ts(10, 10), 2L)))
-      // another user far in the future pushes the watermark past user 1's
-      // open-session timeout: it closes by timeout
+      // an OUT-OF-ORDER but on-time event lands in a later micro-batch,
+      // BEFORE the open 12:00 session and > gap after 10:10: it must
+      // become its own session, not merge into either neighbor
+      ms.addData((1L, ts(11, 15)))
+      q.processAllAvailable()
+      // watermark is now 11:00 (12:00 - 1h); next trigger closes session 1
       ms.addData((2L, ts(20, 0)))
       q.processAllAvailable()
-      ms.addData((2L, ts(20, 1))) // one more batch so the timeout fires
+      // (the post-batch no-data trigger may already have fired timeouts
+      // for everything behind the 19:00 watermark)
+      val s1 = spark.table("sess").as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .collect().toSet
+      assert(s1.contains((1L, ts(10, 0), ts(10, 10), 2L)))
+      // watermark 19:00 closes user 1's remaining sessions by timeout
+      ms.addData((2L, ts(20, 30)))
       q.processAllAvailable()
       val s2 = spark.table("sess").as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
         .collect().toSet
+      assert(s2.contains((1L, ts(11, 15), ts(11, 15), 1L)))
       assert(s2.contains((1L, ts(12, 0), ts(12, 0), 1L)))
-      assert(s2.size === 2) // no duplicates, user 2's session still open
+      assert(s2.size === 3) // no duplicates, no merges, user 2 still open
     } finally q.stop()
   }
 
