@@ -100,6 +100,23 @@ class IndexSpec extends AnyFunSuite with graft.PropHelper {
     }
   }
 
+  test("minDistanceM lower bound holds across the antimeridian") {
+    // point just west of the antimeridian, cell just east of it: the true
+    // nearest edge is the cell's EAST edge via wraparound — a linear lon
+    // clamp would pick the far (west) edge and overestimate
+    val cell = Cells.cellId(179.3, 10.0, 10)
+    val env = Cells.envelope(cell)
+    val lb = Cells.minDistanceM(cell, -179.95, 10.0)
+    // sample the cell's boundary + interior; the bound must undercut all
+    val samples = for {
+      fx <- 0 to 4; fy <- 0 to 4
+    } yield (env(0) + (env(2) - env(0)) * fx / 4.0, env(1) + (env(3) - env(1)) * fy / 4.0)
+    val trueMin = samples.map { case (x, y) => Geom.haversineM(-179.95, 10.0, x, y) }.min
+    assert(lb <= trueMin + 1e-6, s"lb=$lb trueMin=$trueMin")
+    // and it is a USEFUL bound (within 2x), not degenerate-zero
+    assert(lb > trueMin * 0.5)
+  }
+
   // ---- cover ----
   val diamond: Array[Array[Double]] = Array(Array(116.30, 39.98, 116.34, 40.00, 116.30, 40.02, 116.26, 40.00))
 
