@@ -152,36 +152,38 @@ object GeoOps {
     inside
   }
 
+  /** Multi-ring = disjoint pieces (see [[graft.geom.Geom.containsStrict]]):
+    * strictly inside any piece and on no piece's boundary. */
   def stContains(poly: ArrayData, x: Double, y: Double): Boolean = {
     val nr = poly.numElements()
     if (nr == 0) return false
-    val shell = poly.getArray(0)
-    if (shell.numElements() < 3) return false
-    if (ringRelation(shell, x, y) != 2) return false
-    var r = 1
+    if (poly.getArray(0).numElements() < 3) return false
+    var inside = false
+    var r = 0
     while (r < nr) {
-      if (ringRelation(poly.getArray(r), x, y) != 0) return false // on/in a hole
+      val ring = poly.getArray(r)
+      if (ring.numElements() >= 3) {
+        val rel = ringRelation(ring, x, y)
+        if (rel == 1) return false // boundary is excluded (shapely contains)
+        if (rel == 2) inside = true
+      }
       r += 1
     }
-    true
+    inside
   }
 
+  /** Covers = inside or on the boundary of any piece. */
   def stCovers(poly: ArrayData, x: Double, y: Double): Boolean = {
     val nr = poly.numElements()
     if (nr == 0) return false
-    val shell = poly.getArray(0)
-    if (shell.numElements() < 3) return false
-    val rel = ringRelation(shell, x, y)
-    if (rel == 1) return true  // on shell edge
-    if (rel == 0) return false
-    var r = 1
+    if (poly.getArray(0).numElements() < 3) return false
+    var r = 0
     while (r < nr) {
-      val hr = ringRelation(poly.getArray(r), x, y)
-      if (hr == 2) return false // strictly inside a hole
-      if (hr == 1) return true  // on hole edge
+      val ring = poly.getArray(r)
+      if (ring.numElements() >= 3 && ringRelation(ring, x, y) != 0) return true
       r += 1
     }
-    true
+    false
   }
 
   def stIsValid(poly: ArrayData): Boolean = {
@@ -194,8 +196,8 @@ object GeoOps {
     val pa = polyToFlat(a); val pb = polyToFlat(b)
     if (pa.isEmpty || pb.isEmpty) return null
     if (!Geom.isRingValid(pa(0)) || !Geom.isRingValid(pb(0))) return null // utils.py:57-62
-    val r = Geom.intersection(pa(0), pb(0))
-    if (r == null) null else flatToPoly(Array(Geom.closeRing(r)))
+    val pieces = Geom.intersectionPieces(pa(0), pb(0))
+    if (pieces == null) null else flatToPoly(pieces.map(Geom.closeRing))
   }
 
   def stEnvelope(poly: ArrayData): InternalRow = {
@@ -204,15 +206,14 @@ object GeoOps {
     if (e(0).isNaN) null else new GenericInternalRow(Array[Any](e(0), e(1), e(2), e(3)))
   }
 
+  /** Multi-ring = disjoint pieces (see [[Geom.containsStrict]] note):
+    * area is the SUM over rings. */
   def stArea(poly: ArrayData): Double = {
     val p = polyToFlat(poly)
-    if (p.isEmpty) 0.0
-    else {
-      var a = Geom.area(p(0))
-      var i = 1
-      while (i < p.length) { a -= Geom.area(p(i)); i += 1 }
-      a
-    }
+    var a = 0.0
+    var i = 0
+    while (i < p.length) { a += Geom.area(p(i)); i += 1 }
+    a
   }
 
   def haversineM(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double =

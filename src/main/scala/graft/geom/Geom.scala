@@ -166,17 +166,19 @@ object Geom {
     false
   }
 
-  /** shapely-`contains`-compatible strict containment (boundary excluded). */
+  /** shapely-`contains`-compatible strict containment (boundary excluded).
+    * Multi-ring polygons are DISJOINT PIECES (MultiPolygon) — nothing in
+    * this engine produces interior holes (the reference renders
+    * exterior-only, plot_courses.py:184-186): inside any piece = inside. */
   def containsStrict(poly: Array[Array[Double]], px: Double, py: Double): Boolean = {
     if (poly.length == 0 || nPts(poly(0)) < 3) return false
     if (onBoundary(poly, px, py)) return false
-    if (!rayCrossings(poly(0), px, py)) return false
-    var r = 1
-    while (r < poly.length) {       // inside a hole => not contained
-      if (rayCrossings(poly(r), px, py)) return false
+    var r = 0
+    while (r < poly.length) {
+      if (nPts(poly(r)) >= 3 && rayCrossings(poly(r), px, py)) return true
       r += 1
     }
-    true
+    false
   }
 
   /** Covers = contains-or-on-boundary (used by conservative cell covers). */
@@ -387,6 +389,90 @@ object Geom {
       i += 1
     }
     if (nPts(result) < 3 || area(result) == 0.0) null else result
+  }
+
+  /** Ear-clipping triangulation of a simple (possibly concave) ring.
+    * Returns one 6-double array (ax,ay,bx,by,cx,cy) per triangle, or null
+    * when the ring is degenerate/self-intersecting (no ear found). O(n^2)
+    * — rings here are tens of vertices. */
+  def triangulate(ringIn: Array[Double]): Array[Array[Double]] = {
+    val ring = toCCW(dropClosingDup(ringIn))
+    val n = nPts(ring)
+    if (n < 3) return null
+    def x(i: Int) = ring(2 * i)
+    def y(i: Int) = ring(2 * i + 1)
+    // inclusive point-in-triangle (any boundary contact blocks the ear —
+    // conservative, avoids sliver triangles crossing the polygon)
+    def inTri(px: Double, py: Double, ax: Double, ay: Double,
+              bx: Double, by: Double, cx: Double, cy: Double): Boolean = {
+      val d1 = (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+      val d2 = (cx - bx) * (py - by) - (cy - by) * (px - bx)
+      val d3 = (ax - cx) * (py - cy) - (ay - cy) * (px - cx)
+      d1 >= 0 && d2 >= 0 && d3 >= 0
+    }
+    val idx = scala.collection.mutable.ArrayBuffer.range(0, n)
+    val tris = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    while (idx.length > 3) {
+      var earAt = -1
+      var i = 0
+      while (i < idx.length && earAt < 0) {
+        val m = idx.length
+        val ia = idx((i + m - 1) % m); val ib = idx(i); val ic = idx((i + 1) % m)
+        val cross = (x(ib) - x(ia)) * (y(ic) - y(ia)) - (y(ib) - y(ia)) * (x(ic) - x(ia))
+        if (cross > 0) { // convex corner of a CCW ring
+          var ok = true
+          var j = 0
+          while (j < m && ok) {
+            val iv = idx(j)
+            if (iv != ia && iv != ib && iv != ic)
+              ok = !inTri(x(iv), y(iv), x(ia), y(ia), x(ib), y(ib), x(ic), y(ic))
+            j += 1
+          }
+          if (ok) earAt = i
+        }
+        i += 1
+      }
+      if (earAt < 0) return null // no ear: not a simple polygon
+      val m = idx.length
+      val ia = idx((earAt + m - 1) % m); val ib = idx(earAt); val ic = idx((earAt + 1) % m)
+      tris += Array(x(ia), y(ia), x(ib), y(ib), x(ic), y(ic))
+      idx.remove(earAt)
+    }
+    tris += Array(x(idx(0)), y(idx(0)), x(idx(1)), y(idx(1)), x(idx(2)), y(idx(2)))
+    tris.toArray
+  }
+
+  /**
+   * General intersection of two simple rings as DISJOINT PIECES (the
+   * MultiPolygon case the reference's shapely call handles and its
+   * renderer then crashes on — we return the pieces). When either ring is
+   * convex this is the exact single-piece [[intersection]]; otherwise the
+   * clip ring is triangulated and the subject is clipped against each
+   * triangle (each convex -> Sutherland–Hodgman exact), the non-empty
+   * pieces forming a partition of the true intersection: total area is
+   * exact, piece boundaries follow the triangulation. Null when empty or
+   * degenerate (the reference's None class).
+   */
+  def intersectionPieces(subjectIn: Array[Double], clipIn: Array[Double]): Array[Array[Double]] = {
+    val subject = dropClosingDup(subjectIn)
+    val clip = dropClosingDup(clipIn)
+    if (nPts(subject) < 3 || nPts(clip) < 3) return null
+    if (isConvex(clip) || isConvex(subject)) {
+      val r = intersection(subject, clip)
+      return if (r == null) null else Array(r)
+    }
+    val es = envelope(subject); val ec = envelope(clip)
+    if (es(2) < ec(0) || ec(2) < es(0) || es(3) < ec(1) || ec(3) < es(1)) return null
+    val tris = triangulate(clip)
+    if (tris == null) return null
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    var i = 0
+    while (i < tris.length) {
+      val p = intersection(subject, tris(i))
+      if (p != null) pieces += p
+      i += 1
+    }
+    if (pieces.isEmpty) null else pieces.toArray
   }
 
   // ---------------------------------------------------------------------

@@ -58,10 +58,13 @@ class GeomSpec extends AnyFunSuite with graft.PropHelper {
     assert(!Geom.containsStrict(square, 0.0, 2.0))  // on vertical edge
   }
 
-  test("containsStrict with hole") {
-    val withHole = square :+ Array(1.0, 1.0, 3.0, 1.0, 3.0, 3.0, 1.0, 3.0)
-    assert(!Geom.containsStrict(withHole, 2.0, 2.0)) // inside hole
-    assert(Geom.containsStrict(withHole, 0.5, 0.5))  // in shell, outside hole
+  test("containsStrict multi-ring = disjoint pieces (engine produces no holes)") {
+    // second ring is a separate piece away from the first
+    val pieces = square :+ Array(10.0, 10.0, 12.0, 10.0, 12.0, 12.0, 10.0, 12.0)
+    assert(Geom.containsStrict(pieces, 2.0, 2.0))   // inside piece 1
+    assert(Geom.containsStrict(pieces, 11.0, 11.0)) // inside piece 2
+    assert(!Geom.containsStrict(pieces, 7.0, 7.0))  // between pieces
+    assert(!Geom.containsStrict(pieces, 10.0, 11.0)) // on piece boundary
   }
 
   test("containsStrict concave polygon") {
@@ -180,6 +183,60 @@ class GeomSpec extends AnyFunSuite with graft.PropHelper {
       if (expected == 0.0) assert(r == null)
       else assert(r != null && Math.abs(Geom.area(r) - expected) < 1e-9)
     }
+  }
+
+  // ---- triangulation + general (concave x concave) intersection ----
+  test("triangulation partitions the ring: triangle areas sum to ring area") {
+    val uShape = Array(0.0, 0, 6, 0, 6, 4, 4, 4, 4, 2, 2, 2, 2, 4, 0, 4)
+    val tris = Geom.triangulate(uShape)
+    assert(tris != null && tris.length == Geom.nPts(uShape) - 2)
+    val sum = tris.map(Geom.area).sum
+    assert(Math.abs(sum - Geom.area(uShape)) < 1e-9)
+  }
+
+  test("concave x concave intersection: exact area via disjoint pieces") {
+    val uShape = Array(0.0, 0, 6, 0, 6, 4, 4, 4, 4, 2, 2, 2, 2, 4, 0, 4)
+    val lShape = Array(1.0, 1, 7, 1, 7, 3, 3, 3, 3, 6, 1, 6)
+    assert(!Geom.isConvex(uShape) && !Geom.isConvex(lShape))
+    val pieces = Geom.intersectionPieces(uShape, lShape)
+    assert(pieces != null && pieces.length >= 2) // genuinely multi-piece-ish
+    val got = pieces.map(Geom.area).sum
+    // deterministic grid integration over the envelope as the oracle
+    val n = 600
+    var hits = 0
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        val px = 0.0 + 7.0 * (i + 0.5) / n
+        val py = 0.0 + 6.0 * (j + 0.5) / n
+        if (Geom.containsStrict(Array(uShape), px, py) &&
+            Geom.containsStrict(Array(lShape), px, py)) hits += 1
+        j += 1
+      }
+      i += 1
+    }
+    val est = hits.toDouble * (7.0 * 6.0) / (n.toDouble * n)
+    assert(Math.abs(got - est) < 0.05 * est, s"pieces=$got grid=$est")
+    // pieces stay within both inputs
+    assert(got <= Geom.area(uShape) + 1e-9 && got <= Geom.area(lShape) + 1e-9)
+    // and every strictly-interior intersection sample is covered by a piece
+    var covered = true
+    var k = 0
+    while (k < n && covered) {
+      val px = 7.0 * (k + 0.5) / n; val py = 6.0 * (k + 0.37) / n
+      if (Geom.containsStrict(Array(uShape), px, py) &&
+          Geom.containsStrict(Array(lShape), px, py))
+        covered = Geom.covers(pieces, px, py)
+      k += 1
+    }
+    assert(covered)
+  }
+
+  test("concave x concave disjoint -> null") {
+    val uShape = Array(0.0, 0, 6, 0, 6, 4, 4, 4, 4, 2, 2, 2, 2, 4, 0, 4)
+    val far = uShape.zipWithIndex.map { case (v, i) => if (i % 2 == 0) v + 100 else v }
+    assert(Geom.intersectionPieces(uShape, far) == null)
   }
 
   // ---- haversine / viewport ----
