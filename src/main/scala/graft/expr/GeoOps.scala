@@ -157,7 +157,6 @@ object GeoOps {
   def stContains(poly: ArrayData, x: Double, y: Double): Boolean = {
     val nr = poly.numElements()
     if (nr == 0) return false
-    if (poly.getArray(0).numElements() < 3) return false
     var inside = false
     var r = 0
     while (r < nr) {
@@ -176,7 +175,6 @@ object GeoOps {
   def stCovers(poly: ArrayData, x: Double, y: Double): Boolean = {
     val nr = poly.numElements()
     if (nr == 0) return false
-    if (poly.getArray(0).numElements() < 3) return false
     var r = 0
     while (r < nr) {
       val ring = poly.getArray(r)

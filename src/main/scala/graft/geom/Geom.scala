@@ -102,7 +102,9 @@ object Geom {
   /** Smooth a flat ring: x and y sequences filtered independently. */
   def gaussianSmooth(ring: Array[Double], sigma: Double): Array[Double] = {
     val n = nPts(ring)
-    if (n == 0) return ring
+    // sigma -> 0 converges to the identity filter; non-positive sigma
+    // would otherwise produce an all-NaN kernel (0/0) or a negative radius
+    if (n == 0 || sigma <= 0.0) return ring
     val xs = new Array[Double](n); val ys = new Array[Double](n)
     var i = 0
     while (i < n) { xs(i) = ring(2 * i); ys(i) = ring(2 * i + 1); i += 1 }
@@ -171,7 +173,7 @@ object Geom {
     * this engine produces interior holes (the reference renders
     * exterior-only, plot_courses.py:184-186): inside any piece = inside. */
   def containsStrict(poly: Array[Array[Double]], px: Double, py: Double): Boolean = {
-    if (poly.length == 0 || nPts(poly(0)) < 3) return false
+    if (poly.length == 0) return false
     if (onBoundary(poly, px, py)) return false
     var r = 0
     while (r < poly.length) {
@@ -181,9 +183,19 @@ object Geom {
     false
   }
 
-  /** Covers = contains-or-on-boundary (used by conservative cell covers). */
-  def covers(poly: Array[Array[Double]], px: Double, py: Double): Boolean =
-    onBoundary(poly, px, py) || containsStrict(poly, px, py)
+  /** Covers = contains-or-on-boundary (used by conservative cell covers).
+    * Single fused pass: boundary contact is covered either way, so only
+    * one boundary walk runs (containsStrict would repeat it). */
+  def covers(poly: Array[Array[Double]], px: Double, py: Double): Boolean = {
+    if (poly.length == 0) return false
+    if (onBoundary(poly, px, py)) return true
+    var r = 0
+    while (r < poly.length) {
+      if (nPts(poly(r)) >= 3 && rayCrossings(poly(r), px, py)) return true
+      r += 1
+    }
+    false
+  }
 
   // ---------------------------------------------------------------------
   // Envelope — reference: geo_series.total_bounds / polygon.bounds
@@ -207,9 +219,23 @@ object Geom {
     Array(minx, miny, maxx, maxy)
   }
 
-  def envelopePoly(poly: Array[Array[Double]]): Array[Double] =
-    if (poly.length == 0) Array(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
-    else envelope(poly(0))
+  /** Envelope over ALL rings — rings are disjoint pieces, so every piece
+    * contributes (ring-0-only would silently exclude pieces from cover
+    * construction and bbox quick-rejects). */
+  def envelopePoly(poly: Array[Array[Double]]): Array[Double] = {
+    if (poly.length == 0) return Array(Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+    val e = envelope(poly(0))
+    var r = 1
+    while (r < poly.length) {
+      val er = envelope(poly(r))
+      if (!er(0).isNaN) {
+        e(0) = Math.min(e(0), er(0)); e(1) = Math.min(e(1), er(1))
+        e(2) = Math.max(e(2), er(2)); e(3) = Math.max(e(3), er(3))
+      }
+      r += 1
+    }
+    e
+  }
 
   /** Signed shoelace area (positive = CCW). Open or closed rings OK. */
   def signedArea(ring: Array[Double]): Double = {
@@ -366,6 +392,12 @@ object Geom {
    * convex (S-H with the convex one as clip); null otherwise, or when
    * either input is degenerate, or when the result is empty/zero-area —
    * mirroring utils.py:57-66's None returns.
+   *
+   * PRECONDITION: inputs are SIMPLE rings. A self-intersecting ring whose
+   * turns all share a sign (a star polygon) passes `isConvex` and would be
+   * clipped wrongly rather than rejected — the SQL surface guards this via
+   * `isRingValid` in `GeoOps.stIntersection`; direct kernel callers own
+   * the same check.
    */
   def intersection(subjectIn: Array[Double], clipIn: Array[Double]): Array[Double] = {
     var subject = dropClosingDup(subjectIn)
@@ -424,8 +456,17 @@ object Geom {
           var j = 0
           while (j < m && ok) {
             val iv = idx(j)
-            if (iv != ia && iv != ib && iv != ic)
-              ok = !inTri(x(iv), y(iv), x(ia), y(ia), x(ib), y(ib), x(ic), y(ic))
+            if (iv != ia && iv != ib && iv != ic) {
+              // coordinate-duplicates of a corner don't block the ear
+              // (a repeated interior vertex sits ON the triangle boundary
+              // by construction and would otherwise veto every ear)
+              val vx = x(iv); val vy = y(iv)
+              val isCornerDup =
+                (vx == x(ia) && vy == y(ia)) || (vx == x(ib) && vy == y(ib)) ||
+                  (vx == x(ic) && vy == y(ic))
+              if (!isCornerDup)
+                ok = !inTri(vx, vy, x(ia), y(ia), x(ib), y(ib), x(ic), y(ic))
+            }
             j += 1
           }
           if (ok) earAt = i
