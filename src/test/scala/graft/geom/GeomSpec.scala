@@ -233,6 +233,46 @@ class GeomSpec extends AnyFunSuite with graft.PropHelper {
     assert(covered)
   }
 
+  test("intersectionPieces properties on random concave rings") {
+    val rnd = new scala.util.Random(13)
+    var tested = 0
+    (0 until 150).foreach { _ =>
+      def noisyRing(cx: Double, cy: Double): Array[Double] = {
+        val n = 6 + rnd.nextInt(18)
+        (0 until n).flatMap { i =>
+          val a = 2 * Math.PI * i / n
+          val rr = 0.5 + rnd.nextDouble() * 1.5 // strong radial noise -> concave
+          Seq(cx + rr * Math.cos(a), cy + 0.8 * rr * Math.sin(a))
+        }.toArray
+      }
+      val s = noisyRing(0, 0)
+      val c = noisyRing(rnd.nextDouble() * 2 - 1, rnd.nextDouble() * 2 - 1)
+      if (Geom.isRingValid(s) && Geom.isRingValid(c)) {
+        tested += 1
+        val pieces = Geom.intersectionPieces(s, c)
+        if (pieces != null) {
+          val a = pieces.map(Geom.area).sum
+          assert(a > 0 && a <= Geom.area(s) + 1e-9 && a <= Geom.area(c) + 1e-9)
+          // spot-check piece membership: sampled piece-interior-ish points
+          // (centroids of pieces) must lie in BOTH inputs (covers-level)
+          pieces.foreach { p =>
+            val n = Geom.nPts(p)
+            var gx = 0.0; var gy = 0.0
+            (0 until n).foreach { i => gx += p(2 * i); gy += p(2 * i + 1) }
+            gx /= n; gy /= n
+            // centroid of a (convex-ish S-H) piece; skip if it fell outside
+            // its own piece (possible for weird concave pieces)
+            if (Geom.covers(Array(p), gx, gy)) {
+              assert(Geom.covers(Array(s), gx, gy), s"piece centroid outside subject")
+              assert(Geom.covers(Array(c), gx, gy), s"piece centroid outside clip")
+            }
+          }
+        }
+      }
+    }
+    assert(tested > 50) // the generator must actually produce valid rings
+  }
+
   test("concave x concave disjoint -> null") {
     val uShape = Array(0.0, 0, 6, 0, 6, 4, 4, 4, 4, 2, 2, 2, 2, 4, 0, 4)
     val far = uShape.zipWithIndex.map { case (v, i) => if (i % 2 == 0) v + 100 else v }
