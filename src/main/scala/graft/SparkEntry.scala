@@ -285,43 +285,55 @@ object SparkEntry {
         .select(col("vec_a"), col("vec_b"))
     }),
 
-    // ---- text pipeline: hash-based (no SQL oracle; scalatest-covered) ----
+    // ---- text pipeline: hash-based ----
     "q23_fingerprint_dedup" -> ((s, d) => {
       graft.functions.registerAll(s)
+      // fingerprint(text) = rolling hash of the whitespace-token sequence,
+      // so grouping by it == grouping by the normalized token string
+      // (modulo 64-bit collisions — none at these scales, ExprSpec-pinned);
+      // that equivalence is what the DuckDB oracle checks
       t(s, d, "documents")
         .groupBy(gf.fingerprint(col("text")).as("fp"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-        .select(col("keep_id"), col("n_dups"), col("fp"))
+        .select(col("keep_id"), col("n_dups"))
     }),
 
     "q24_langid" -> ((s, d) => {
-      graft.functions.registerAll(s)
       // n-gram heuristic language id: score against tiny per-language
-      // stopword profiles, predict argmax, report confusion counts
+      // stopword profiles, predict argmax, report confusion counts.
+      // The whole prediction is ONE expression tree in which `toks` (and
+      // therefore split/lower) appears exactly once: scores come from a
+      // `transform` over the literal profile array, and the argmax is a
+      // single `aggregate` fold over (score, index) pairs — a separate
+      // greatest/when-chain re-references every score subtree and
+      // re-evaluates the tokenization per reference after projection
+      // collapse (the round-1 43s pathology).
       val profiles = Seq(
         "en" -> Seq("the", "and", "of", "to", "a"),
         "es" -> Seq("el", "la", "de", "que", "y"),
         "de" -> Seq("der", "die", "und", "das", "ist"),
         "fr" -> Seq("le", "la", "et", "les", "des"))
-      // score each profile ONCE into its own column, then argmax over the
-      // materialized scores — an inlined when-chain fold would duplicate
-      // every score expression 4x per level (exponential re-evaluation)
       val langs = profiles.map(_._1)
-      val scored = profiles.foldLeft(
-        t(s, d, "documents").withColumn("toks", split(trim(lower(col("text"))), "\\s+"))) {
-        case (df, (lang, words)) =>
-          df.withColumn(s"s_$lang",
-            size(array_intersect(col("toks"), array(words.map(lit(_)): _*))))
+      val toks = split(trim(lower(col("text"))), "\\s+")
+      // lambda-let: bind the token array to a lambda VARIABLE via a
+      // 1-element transform, so the tokenization subtree is evaluated
+      // once per row even though four profile scores reference it
+      def argmax(tk: Column): Column = {
+        val scores = transform(typedLit(profiles.map(_._2)),
+          p => size(array_intersect(tk, p)))
+        // strictly-greater scan = first profile hitting the max wins;
+        // all-zero scores leave the (0, 0) seed -> "und"
+        aggregate(
+          zip_with(scores, sequence(lit(1), lit(langs.size)),
+            (sc, i) => struct(sc.as("s"), i.as("i"))),
+          struct(lit(0).as("s"), lit(0).as("i")),
+          (acc, x) => when(x("s") > acc("s"), x).otherwise(acc),
+          acc => when(acc("s") <= 0, lit("und"))
+            .otherwise(element_at(typedLit(langs), acc("i"))))
       }
-      val best = greatest(langs.map(l => col(s"s_$l")): _*)
-      // first profile hitting the max wins — same tie-break as a
-      // strictly-greater scan in profile order
-      val pred = when(best <= 0, lit("und")).otherwise(
-        langs.foldRight(lit("und"): Column) { (lang, acc) =>
-          when(col(s"s_$lang") === best, lit(lang)).otherwise(acc)
-        })
-      scored
-        .withColumn("pred_lang", pred)
+      val pred = element_at(transform(array(toks), tk => argmax(tk)), 1)
+      t(s, d, "documents")
+        .select(col("lang"), pred.as("pred_lang"))
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n"))
     }),
@@ -401,6 +413,64 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // ---- near-dup VERIFY-stage anchors: the exact-verification kernels
+    // of q25/q26/q27 (jaccard merge-walk, hamming) run brute-force over a
+    // bounded probe slice (doc_id < 100 one side) with full DuckDB oracles
+    // — the LSH/banded candidate stages above are the scale paths, these
+    // pin their verify math to an independent engine ----
+    "q37_shingle_jaccard" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // q25's verify stage: exact word-3-shingle jaccard (distinct-set
+      // semantics, matching array_intersect/array_union)
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        gf.word_shingles(col("text"), lit(3)).as("sh"))
+      val a = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+      a.join(broadcast(b), col("doc_a") < col("doc_b"))
+        .filter(size(col("sh_a")) + size(col("sh_b")) > 0)
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    "q38_chargram_jaccard" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // q27's verify stage: the sorted-long-array merge-walk jaccard over
+      // hashed char 5-grams. The oracle computes jaccard over the DISTINCT
+      // GRAM STRINGS — equal values because the 64-bit gram hash is
+      // injective on these inputs (a collision would show as a hash
+      // mismatch, which is the point of the anchor)
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        gf.hashed_char_shingles(col("text"), lit(5)).as("grams"))
+      val a = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("doc_a"), col("grams").as("ga"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
+      a.join(broadcast(b), col("doc_a") < col("doc_b"))
+        .filter(size(col("ga")) + size(col("gb")) > 0)
+        .withColumn("jaccard", gf.sorted_jaccard(col("ga"), col("gb")))
+        .filter(col("jaccard") >= 0.4)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    "q39_md5_hamming" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // q26's verify stage: hamming_dist over 60-bit keys derived from
+      // md5(text) identically on both sides (15 hex chars -> int), so the
+      // custom popcount-xor expression itself is oracle-checked
+      val h = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+      val docs = t(s, d, "documents").select(col("doc_id"), h.as("h"))
+      val a = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("doc_a"), col("h").as("ha"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("h").as("hb"))
+      a.join(broadcast(b), col("doc_a") < col("doc_b"))
+        .withColumn("hamming", gf.hamming_dist(col("ha"), col("hb")))
+        .filter(col("hamming") <= 22)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    }),
+
     // ---- embeddings: ANN (brute-force oracle path + LSH scale path) ----
     "q30_knn_brute" -> ((s, d) => {
       graft.functions.registerAll(s)
@@ -447,8 +517,12 @@ object SparkEntry {
       val emb = t(s, d, "embeddings")
       val queriesDf = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      // output is (query, rank, neighbor) — the similarity VALUE is
+      // excluded because DuckDB's list_cosine_similarity accumulates in
+      // float32 while the engine accumulates in float64; the ORDERING
+      // agrees (that's what rank checks), the 7th decimal doesn't
       graft.pipeline.Ann.ivfTopK(emb, queriesDf, k = 10, nLists = 32, nProbe = 4)
-        .select(col("query_id"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim"))
+        .select(col("query_id"), col("rank"), col("vec_id"))
     }),
 
     // ---- multimodal binary columns (stub decode; scalatest-covered) ----
@@ -461,8 +535,25 @@ object SparkEntry {
 
     "q34_frame_sample" -> ((s, d) => {
       import graft.pipeline.Multimodal
+      // frame_hex pins the actual frame BYTES to the oracle (each sampled
+      // frame is one md5-derived block of the synthetic payload, so DuckDB
+      // reproduces it as upper(md5(text || ':' || frame_idx)))
       Multimodal.sampleFrames(Multimodal.withMedia(t(s, d, "documents")), everyN = 2)
-        .select(col("doc_id"), col("frame_idx"), length(col("frame_bytes")).as("n_bytes"))
+        .select(col("doc_id"), col("frame_idx"), length(col("frame_bytes")).as("n_bytes"),
+          hex(col("frame_bytes")).as("frame_hex"))
+    }),
+
+    // ---- S3: REAL binary-file scan over the reference's raster resources
+    // (fixed read-only path, deterministic 11-file set) with PNG header
+    // dims decoded by expression math; DuckDB oracles it via read_blob ----
+    "q51_binary_scan" -> ((s, d) => {
+      import graft.pipeline.Multimodal
+      Multimodal.readBinaryDir(s, Multimodal.DefaultResourcesDir)
+        .select(col("file_name"),
+          col("media_meta.n_bytes").cast("long").as("n_bytes"),
+          col("media_meta.width").as("width"),
+          col("media_meta.height").as("height"),
+          md5(hex(col("media"))).as("payload_md5"))
     }),
 
     "q35_media_meta" -> ((s, d) => {
@@ -727,6 +818,149 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY q.query_id
         |      ORDER BY list_cosine_similarity(e.embedding, q.qvec) DESC, e.vec_id) AS rank
         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id)
-        |WHERE rank <= 10""".stripMargin
+        |WHERE rank <= 10""".stripMargin,
+
+    // fingerprint(text) groups by the whitespace-normalized token sequence
+    "q23_fingerprint_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents
+        |GROUP BY array_to_string(string_split_regex(trim(text), '\s+'), ' ')""".stripMargin,
+
+    // profile score = #profile words present in toks (array_intersect is
+    // distinct and profiles are distinct); CASE chain = first-max-wins
+    "q24_langid" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(['the','and','of','to','a'], w -> list_contains(toks, w))) AS s1,
+        |    len(list_filter(['el','la','de','que','y'], w -> list_contains(toks, w))) AS s2,
+        |    len(list_filter(['der','die','und','das','ist'], w -> list_contains(toks, w))) AS s3,
+        |    len(list_filter(['le','la','et','les','des'], w -> list_contains(toks, w))) AS s4
+        |  FROM (SELECT lang, string_split_regex(trim(lower(text)), '\s+') AS toks FROM documents)
+        |)
+        |SELECT lang,
+        |  CASE WHEN greatest(s1,s2,s3,s4) <= 0 THEN 'und'
+        |       WHEN s1 >= s2 AND s1 >= s3 AND s1 >= s4 THEN 'en'
+        |       WHEN s2 >= s3 AND s2 >= s4 THEN 'es'
+        |       WHEN s3 >= s4 THEN 'de'
+        |       ELSE 'fr' END AS pred_lang,
+        |  count(*) AS n
+        |FROM scored GROUP BY lang, pred_lang""".stripMargin,
+
+    // StubDecoder dim-0 rolling hash replayed exactly: payload bytes are
+    // md5 blocks of text, dim 0 folds bytes at i % 8 = 0 through
+    // acc*1000003 + b + 1 (mod 2^64, via HUGEINT); f0 = (acc & 0xffffff)
+    // / 2^24 is exactly representable in float32 AND float64, so the
+    // engine's float feature equals the oracle's double bit-for-bit
+    "q33_media_features" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |    CASE WHEN doc_id % 3 = 0 THEN 4 WHEN doc_id % 3 = 1 THEN 8 ELSE 16 END AS nb,
+        |    text
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, media_type,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS HUGEINT),
+        |        list_transform(generate_series(0, nb * 16 - 8, 8), i ->
+        |          CAST(strpos('0123456789abcdef', substring(md5(text || ':' || CAST(i // 16 AS BIGINT)), (i % 16) * 2 + 1, 1)) - 1 AS HUGEINT) * 16
+        |          + CAST(strpos('0123456789abcdef', substring(md5(text || ':' || CAST(i // 16 AS BIGINT)), (i % 16) * 2 + 2, 1)) - 1 AS HUGEINT))),
+        |      (acc, b) -> (acc * 1000003 + b + 1) % CAST('18446744073709551616' AS HUGEINT)) AS v
+        |  FROM m)
+        |SELECT doc_id, media_type,
+        |  round(CAST(v % 16777216 AS DOUBLE) / 16777216.0, 6) AS f0
+        |FROM f""".stripMargin,
+
+    // sampled video frame = one 16-byte md5 block of the synthetic payload
+    "q34_frame_sample" ->
+      """SELECT doc_id, frame_idx, CAST(16 AS INT) AS n_bytes,
+        |  upper(md5(text || ':' || frame_idx)) AS frame_hex
+        |FROM documents, unnest([0,2,4,6,8,10,12,14]) AS t(frame_idx)
+        |WHERE doc_id % 3 = 2""".stripMargin,
+
+    // full IVF replay: md5-ordered centroid sample, argmax list assignment
+    // (ties to the smallest list_id), nProbe=4 probes, exact rank within
+    "q36_ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) AS list_id, embedding AS cvec
+        |  FROM (SELECT vec_id, embedding FROM embeddings
+        |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32)
+        |),
+        |assign AS (
+        |  SELECT vec_id, embedding, list_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.list_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.list_id) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) WHERE rn = 1
+        |),
+        |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+        |probes AS (
+        |  SELECT query_id, qvec, list_id FROM (
+        |    SELECT q.query_id, q.qvec, c.list_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.qvec, c.cvec) DESC, c.list_id) AS prnk
+        |    FROM q CROSS JOIN cents c) WHERE prnk <= 4
+        |)
+        |SELECT query_id, rank, vec_id FROM (
+        |  SELECT p.query_id, a.vec_id,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(a.embedding, p.qvec) DESC, a.vec_id) AS rank
+        |  FROM probes p JOIN assign a USING (list_id)
+        |  WHERE a.vec_id <> p.query_id)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q37_shingle_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+        |      i -> array_to_string(toks[i:i+2], ' ')) AS sh
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        |)
+        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE a.doc_id < 100 AND len(a.sh) + len(b.sh) > 0)
+        |WHERE jaccard >= 0.5""".stripMargin,
+
+    "q38_chargram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(generate_series(1, greatest(length(text) - 4, 0)),
+        |      i -> substring(text, i, 5))) AS grams
+        |  FROM documents)
+        |SELECT doc_a, doc_b, round(jaccard, 6) AS jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |    CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE a.doc_id < 100 AND len(a.grams) + len(b.grams) > 0)
+        |WHERE jaccard >= 0.4""".stripMargin,
+
+    // read_blob = DuckDB's binaryFile; PNG IHDR width/height parsed from
+    // the hex string (bytes 17-20 / 21-24 big-endian); payload pinned by
+    // md5 over the full hex dump (DuckDB's md5 only takes VARCHAR)
+    "q51_binary_scan" ->
+      """SELECT regexp_extract(filename, '[^/]+$') AS file_name,
+        |  CAST(size AS BIGINT) AS n_bytes,
+        |  CAST(list_reduce(list_transform(string_split(substring(hex(content), 33, 8), ''),
+        |    c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)), (a, d) -> a * 16 + d) AS INT) AS width,
+        |  CAST(list_reduce(list_transform(string_split(substring(hex(content), 41, 8), ''),
+        |    c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)), (a, d) -> a * 16 + d) AS INT) AS height,
+        |  md5(hex(content)) AS payload_md5
+        |FROM read_blob('/root/reference/resources/*/*.png')""".stripMargin,
+
+    "q39_md5_hamming" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_transform(string_split(substring(md5(text), 1, 15), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (acc, d) -> acc * 16 + d) AS h
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+        |FROM h a JOIN h b ON a.doc_id < b.doc_id
+        |WHERE a.doc_id < 100 AND bit_count(xor(a.h, b.h)) <= 22""".stripMargin
   )
 }

@@ -184,18 +184,46 @@ object GeoOps {
     false
   }
 
+  /** Valid iff non-empty and EVERY piece ring is simple/non-degenerate
+    * (multi-ring = disjoint pieces, so one bad piece poisons the whole). */
   def stIsValid(poly: ArrayData): Boolean = {
     val p = polyToFlat(poly)
-    p.nonEmpty && Geom.isRingValid(p(0))
+    if (p.isEmpty) return false
+    var i = 0
+    while (i < p.length) {
+      if (!Geom.isRingValid(p(i))) return false
+      i += 1
+    }
+    true
   }
 
   // ---- geometric ops ----
+  /** Multi-piece-aware intersection: each input is a set of DISJOINT
+    * pieces (the engine's multi-ring contract — including outputs of this
+    * very function), so the intersection is the union of ALL pairwise
+    * piece intersections. Every ring of both inputs is validity-gated
+    * (utils.py:57-62's None semantics), not just ring 0 — a composed
+    * `st_intersection(st_intersection(a, b), c)` therefore keeps every
+    * piece instead of silently dropping all but the first. */
   def stIntersection(a: ArrayData, b: ArrayData): ArrayData = {
     val pa = polyToFlat(a); val pb = polyToFlat(b)
     if (pa.isEmpty || pb.isEmpty) return null
-    if (!Geom.isRingValid(pa(0)) || !Geom.isRingValid(pb(0))) return null // utils.py:57-62
-    val pieces = Geom.intersectionPieces(pa(0), pb(0))
-    if (pieces == null) null else flatToPoly(pieces.map(Geom.closeRing))
+    var i = 0
+    while (i < pa.length) { if (!Geom.isRingValid(pa(i))) return null; i += 1 }
+    var j = 0
+    while (j < pb.length) { if (!Geom.isRingValid(pb(j))) return null; j += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    i = 0
+    while (i < pa.length) {
+      j = 0
+      while (j < pb.length) {
+        val pieces = Geom.intersectionPieces(pa(i), pb(j))
+        if (pieces != null) out ++= pieces
+        j += 1
+      }
+      i += 1
+    }
+    if (out.isEmpty) null else flatToPoly(out.toArray.map(Geom.closeRing))
   }
 
   def stEnvelope(poly: ArrayData): InternalRow = {

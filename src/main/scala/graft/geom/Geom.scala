@@ -486,11 +486,15 @@ object Geom {
   /**
    * General intersection of two simple rings as DISJOINT PIECES (the
    * MultiPolygon case the reference's shapely call handles and its
-   * renderer then crashes on — we return the pieces). When either ring is
-   * convex this is the exact single-piece [[intersection]]; otherwise the
-   * clip ring is triangulated and the subject is clipped against each
-   * triangle (each convex -> Sutherland–Hodgman exact), the non-empty
-   * pieces forming a partition of the true intersection: total area is
+   * renderer then crashes on — we return the pieces). Convex×convex is
+   * the exact single-piece [[intersection]] (a convex∩convex region is
+   * one convex piece, so Sutherland–Hodgman is exact AND single-piece);
+   * in every other combination the non-convex ring(s) are triangulated
+   * and all triangle/ring pairs are S-H-clipped — each pair has a convex
+   * clip AND convex subject, so every piece is a genuine simple convex
+   * polygon (no S-H bridge-edge artifacts, which a concave subject
+   * against a convex clip CAN produce when the true result is
+   * multi-piece). The pieces partition the true intersection: total area
    * exact, piece boundaries follow the triangulation. Null when empty or
    * degenerate (the reference's None class).
    */
@@ -498,19 +502,24 @@ object Geom {
     val subject = dropClosingDup(subjectIn)
     val clip = dropClosingDup(clipIn)
     if (nPts(subject) < 3 || nPts(clip) < 3) return null
-    if (isConvex(clip) || isConvex(subject)) {
+    if (isConvex(clip) && isConvex(subject)) {
       val r = intersection(subject, clip)
       return if (r == null) null else Array(r)
     }
     val es = envelope(subject); val ec = envelope(clip)
     if (es(2) < ec(0) || ec(2) < es(0) || es(3) < ec(1) || ec(3) < es(1)) return null
-    val tris = triangulate(clip)
-    if (tris == null) return null
+    val trisS = if (isConvex(subject)) Array(subject) else triangulate(subject)
+    val trisC = if (isConvex(clip)) Array(clip) else triangulate(clip)
+    if (trisS == null || trisC == null) return null
     val pieces = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
     var i = 0
-    while (i < tris.length) {
-      val p = intersection(subject, tris(i))
-      if (p != null) pieces += p
+    while (i < trisS.length) {
+      var j = 0
+      while (j < trisC.length) {
+        val p = intersection(trisS(i), trisC(j))
+        if (p != null) pieces += p
+        j += 1
+      }
       i += 1
     }
     if (pieces.isEmpty) null else pieces.toArray

@@ -1,8 +1,9 @@
 package graft.pipeline
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StructField, StructType}
 
 import graft.{functions => gf}
 
@@ -25,15 +26,27 @@ import graft.{functions => gf}
  */
 object Ann {
 
-  /** Coarse centroids: the nLists corpus vectors with the smallest id
-    * hashes — deterministic, hash-spread, and plans as a distributed
-    * top-k (TakeOrderedAndProject), never a full sort. The row_number
-    * runs on the nLists-row result only. */
+  /** Coarse centroids: the nLists corpus vectors with the smallest
+    * md5(vec_id) — deterministic, hash-spread, DuckDB-reproducible
+    * (`ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT n`), and plans as a
+    * distributed top-k (TakeOrderedAndProject), never a full sort. List
+    * ids come from a driver-side zipWithIndex over the tiny collected
+    * sample (it becomes a broadcast anyway) — no global Window, no
+    * single-partition exchange ever appears in the plan. */
   def centroids(emb: DataFrame, nLists: Int): DataFrame = {
-    val sampled = emb.orderBy(xxhash64(col("vec_id")), col("vec_id")).limit(nLists)
-    val w = Window.orderBy(col("vec_id"))
-    sampled.withColumn("list_id", row_number().over(w))
-      .select(col("list_id"), col("embedding").as("cvec"))
+    val spark = emb.sparkSession
+    val sampled = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nLists)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+    val rows: java.util.List[Row] = java.util.Arrays.asList(
+      sampled.zipWithIndex.map { case (r, i) => Row(i + 1, r.get(1)) }: _*)
+    val schema = StructType(Seq(
+      StructField("list_id", IntegerType, nullable = false),
+      StructField("cvec", ArrayType(FloatType), nullable = true)))
+    spark.createDataFrame(rows, schema)
   }
 
   /** Nearest-centroid assignment: one inverted-list id per vector. The

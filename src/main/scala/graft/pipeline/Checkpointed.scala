@@ -26,8 +26,12 @@ import org.apache.spark.sql.functions._
  */
 object Checkpointed {
 
+  /** `invocationWallMs` is the WALL TIME OF THE WHOLE INVOCATION that
+    * committed this bucket (buckets of one run share a job, so per-bucket
+    * wall isn't separable without serializing them) — named for what it
+    * is rather than misattributing invocation time to each bucket. */
   final case class BucketLineage(bucket: Int, nPages: Long, nAssigned: Long,
-                                 textChecksum: Long, wallMs: Long)
+                                 textChecksum: Long, invocationWallMs: Long)
 
   final case class RunSummary(ranBuckets: Seq[Int], skippedBuckets: Seq[Int],
                               lineage: Seq[BucketLineage])
@@ -61,7 +65,7 @@ object Checkpointed {
         def f(k: String): Long =
           ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(m).get.group(1).toLong
         BucketLineage(f("bucket").toInt, f("n_pages"), f("n_assigned"),
-          f("text_checksum"), f("wall_ms"))
+          f("text_checksum"), f("invocation_wall_ms"))
       }.sortBy(_.bucket)
 
   /**
@@ -79,7 +83,6 @@ object Checkpointed {
                checksumCol: String = "text")
               (stage: DataFrame => DataFrame): RunSummary = {
     val spark = input.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val done = completedBuckets(outDir)
     val all = 0 until nBuckets
     // `maxBuckets` bounds one invocation's work — the incremental/preempted
@@ -98,11 +101,26 @@ object Checkpointed {
 
     val staged = stage(bucketed)
 
-    // dynamic partition overwrite: only the buckets present in this write
-    // are replaced — a crashed previous attempt's partial bucket files are
-    // overwritten wholesale, never appended to
+    // pre-truncate every todo bucket's data partition: dynamic overwrite
+    // only rewrites partitions PRESENT in this write, so a crashed
+    // attempt's partial files for a bucket whose retry legitimately
+    // produces ZERO rows would otherwise survive as committed-looking data
+    todo.foreach { b =>
+      val part = Paths.get(outDir, "data", s"bucket=$b")
+      if (Files.isDirectory(part)) {
+        val s = Files.walk(part)
+        try s.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator().asScala.foreach(Files.deleteIfExists(_))
+        finally s.close()
+      }
+    }
+
+    // dynamic partition overwrite, scoped to THIS write via option (never
+    // mutates the shared session conf): only the buckets present in the
+    // write are replaced — other buckets' committed data is untouched
     staged.write
       .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy("bucket")
       .parquet(s"$outDir/data")
 
@@ -125,7 +143,7 @@ object Checkpointed {
       val tmp = dir.resolve(s".bucket-$b.json.tmp")
       Files.writeString(tmp,
         s"""{"bucket":${lin.bucket},"n_pages":${lin.nPages},"n_assigned":${lin.nAssigned},""" +
-          s""""text_checksum":${lin.textChecksum},"wall_ms":${lin.wallMs}}""")
+          s""""text_checksum":${lin.textChecksum},"invocation_wall_ms":${lin.invocationWallMs}}""")
       // atomic rename = the bucket's commit point
       Files.move(tmp, dir.resolve(s"bucket-$b.json"),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)

@@ -45,15 +45,27 @@ object CourseEngine {
     items.filter(col("itemType") =!= "HoleBoundary")          // P4 anti-filter
       .join(broadcast(bounds), holeKey)
 
+  /** P5 catalog dispatch with the reference's unknown-type semantics
+    * (plot_courses.py:138-140 logs a warning and skips): LEFT join the
+    * full 14-row catalog, surface the unknown-itemType row count as an
+    * observed metric (`<metricName>.n_unknown_items`, readable from
+    * `df.queryExecution.observedMetrics` after any action), THEN filter
+    * to the wanted category — unknown types are counted, never silently
+    * inner-joined away. */
+  private def catalogJoin(withBounds: DataFrame, category: String,
+                          metricName: String): DataFrame =
+    withBounds
+      .join(broadcast(Catalog.df(withBounds.sparkSession)), Seq("itemType"), "left")
+      .observe(metricName,
+        sum(when(col("category").isNull, 1L).otherwise(0L)).as("n_unknown_items"))
+      .filter(col("category") === category)
+
   /** Polygon items clipped to the boundary — J1/U3 (plot_courses.py:258-264
     * via utils.py:55-66): smooth+close+polygonize the item, intersect with
     * boundary, drop empty/invalid (null) results; keep items with >=3
     * in-boundary vertices (P6). */
   def clippedPolygons(items: DataFrame, bounds: DataFrame): DataFrame =
-    itemsWithBoundary(items, bounds)
-      .join(broadcast(Catalog.df(items.sparkSession)
-        .filter(col("category") === "polygon")
-        .select(col("itemType"), col("zorder"))), Seq("itemType"))
+    catalogJoin(itemsWithBoundary(items, bounds), "polygon", "unknown_items_polygon")
       .filter(size(col("shape")) > 2)                         // P6 polygons >= 3
       .withColumn("poly", make_polygon(closed_ring(gaussian_smooth(col("shape"), lit(1.0)))))
       .filter(col("poly").isNotNull)
@@ -67,10 +79,7 @@ object CourseEngine {
     * surviving vertices (P6). NOT a geometric clip — segments crossing the
     * boundary are joined, matching the reference's vertex-drop semantics. */
   def clippedLines(items: DataFrame, bounds: DataFrame): DataFrame =
-    itemsWithBoundary(items, bounds)
-      .join(broadcast(Catalog.df(items.sparkSession)
-        .filter(col("category") === "line")
-        .select(col("itemType"), col("zorder"), col("color"), col("lineWidth"))), Seq("itemType"))
+    catalogJoin(itemsWithBoundary(items, bounds), "line", "unknown_items_line")
       .withColumn("inside",
         expr("filter(shape, p -> st_contains(boundary, p.x, p.y))"))
       .filter(size(col("inside")) > 1)                        // P6 lines >= 2 (:243)
@@ -80,10 +89,7 @@ object CourseEngine {
   /** Markers kept only if strictly inside the boundary — P9
     * (plot_courses.py:148-151), with pixel placement math (F6). */
   def markers(items: DataFrame, bounds: DataFrame): DataFrame =
-    itemsWithBoundary(items, bounds)
-      .join(broadcast(Catalog.df(items.sparkSession)
-        .filter(col("category") === "marker")
-        .select(col("itemType"), col("zorder"))), Seq("itemType"))
+    catalogJoin(itemsWithBoundary(items, bounds), "marker", "unknown_items_marker")
       .filter(size(col("shape")) === 1)
       .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemType"),
         col("zorder"),

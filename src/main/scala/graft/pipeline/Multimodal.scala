@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -53,6 +53,56 @@ object Multimodal {
         length(col("media")).as("n_bytes")))
       .drop("n_blocks")
   }
+
+  /** The reference's raster resource tree (read-only mount). */
+  final val DefaultResourcesDir = "/root/reference/resources"
+
+  /** Big-endian 4-byte unsigned int at 1-based `off` of a binary column
+    * (pure built-ins: substring works on BINARY, conv parses the hex). */
+  private def beInt(bin: Column, off: Int): Column =
+    conv(hex(bin.substr(lit(off), lit(4))), 16, 10).cast("int")
+
+  /**
+   * S3 — binary raster resource scan: REAL file bytes via Spark's
+   * `binaryFile` source — the ingestion analog of the reference's
+   * memoized `plt.imread` texture/icon cache (plot_courses.py:96-100).
+   * Width/height are decoded from the PNG IHDR header (bytes 16-23,
+   * big-endian — pure expression math over the binary column; full pixel
+   * decode stays behind [[StubDecoder]]). Output shape matches
+   * [[withMedia]]'s media/media_meta contract, so every downstream
+   * operator (decodeFeatures, resize, marker icon join) takes either.
+   */
+  def readBinaryDir(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    glob: String = "*.png"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(
+        element_at(split(col("path"), "/"), -1).as("file_name"),
+        col("content").as("media"))
+      .withColumn("media_type", lit("image"))
+      .withColumn("is_png",
+        hex(col("media").substr(lit(1), lit(8))) === lit("89504E470D0A1A0A"))
+      .withColumn("media_meta", struct(
+        when(col("is_png"), beInt(col("media"), 17)).as("width"),
+        when(col("is_png"), beInt(col("media"), 21)).as("height"),
+        lit(null).cast("int").as("sample_rate"),
+        lit(null).cast("int").as("n_frames"),
+        length(col("media")).as("n_bytes")))
+      .drop("is_png")
+
+  /** Marker icon dimension: itemType -> real icon bytes + decoded dims,
+    * broadcast-joined onto marker rows (the Resources-singleton analog —
+    * the icon set rides one broadcast, plot_courses.py:29-94,153-167). */
+  def markersWithIcons(markers: DataFrame, icons: DataFrame): DataFrame =
+    markers.join(
+      broadcast(icons.select(
+        regexp_replace(col("file_name"), "\\.png$", "").as("itemType"),
+        col("media").as("icon_bytes"),
+        col("media_meta.width").as("icon_w"),
+        col("media_meta.height").as("icon_h"))),
+      Seq("itemType"), "left")
 
   /** Output schema of [[decodeFeatures]]. */
   val featureSchema: StructType = StructType(Seq(

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions._
@@ -199,13 +199,27 @@ object SpatialJoin {
   }
 
   /**
-   * k nearest course holes per page — J5, cell-ring expansion re-expressed
-   * for a broadcastable feature side: every hole centroid is expanded into
-   * its disk of cells up to `radius` rings at `level` (broadcast), pages
-   * probe ONE cell (map-side), candidates refine by exact haversine and a
-   * per-page top-k window. Pages with fewer than k in-radius candidates
-   * fall back to a brute-force broadcast NL join (rare; bounded by the
-   * radius choice). Exact = matches brute force, verified in tests.
+   * k nearest course holes per page — J5, cell-ring expansion in two
+   * escalating stages plus a provably-tiny exact tail:
+   *
+   *   stage 1 (the hot path): every hole centroid expanded into its disk
+   *   of cells up to `radius` rings at `level` (broadcast); pages probe
+   *   ONE cell (map-side, zero explode on the probe stream), candidates
+   *   refine by exact haversine + per-page top-k window, and an exactness
+   *   certificate keeps only pages whose kth hit is provably closer than
+   *   anything outside the disk.
+   *
+   *   stage 2 (rare): uncertified pages ring-expand on the PAGE side —
+   *   each explodes its own cell disk out to 4x the radius and equi-joins
+   *   the single-cell centroid dim (the `disk_cells`/`ring_cells`
+   *   expansion path), with the same certificate at the wider radius.
+   *
+   *   stage 3 (bounded-tiny; `knn_brute`/`n_brute_rows` observed metric):
+   *   exact brute force against the broadcast centroid dim for whatever
+   *   even the expanded disk couldn't certify (e.g. polar pages, where
+   *   the certificate refuses to certify at all — see the guard below).
+   *
+   * Exact = matches brute force at every stage, verified in tests.
    */
   def knnCourses(pages: DataFrame, bounds: DataFrame, k: Int,
                  level: Int = 11, radius: Int = 3): DataFrame = {
@@ -214,53 +228,85 @@ object SpatialJoin {
       .select(col("clubId"), col("courseId"), col("holeNumber"),
         ((col("env.minx") + col("env.maxx")) / 2).as("clon"),
         ((col("env.miny") + col("env.maxy")) / 2).as("clat"))
-    val expanded = centroids
-      .withColumn("cell", explode(disk_cells(cell_id(col("clon"), col("clat"), lit(level)), lit(radius))))
     val w = Window.partitionBy(col("url"))
       .orderBy(col("dist_m"), col("clubId"), col("courseId"), col("holeNumber"))
     val urlW = Window.partitionBy(col("url"))
-    // Exactness certificate: a centroid OUTSIDE the radius-disk is >=
-    // radius+1 cells away in Chebyshev terms, i.e. separated by >= radius
-    // full cells along some axis — at least `radius * min(cell-height,
-    // cell-width@lat) meters` away. deg->m underestimated (110 km/deg) and
-    // cos taken at the latitude pushed radius+1 cells poleward, so the
-    // bound is a strict lower bound on any excluded centroid's distance.
     val cellDeg = 180.0 / (1L << level)
-    val latFar = least(abs(col("lat")) + lit((radius + 1) * cellDeg), lit(89.9))
-    val certBound = lit(radius) * lit(110000.0) * lit(cellDeg) *
-      least(lit(1.0), lit(2.0) * cos(radians(latFar)))
-    val topk = pages
-      .withColumn("cell", cell_id(col("lon"), col("lat"), lit(level)))
-      .join(broadcast(expanded), "cell")
-      .withColumn("dist_m", st_distance_m(col("lon"), col("lat"), col("clon"), col("clat")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .withColumn("cnt", count(lit(1)).over(urlW))
-      .withColumn("kth", max(col("dist_m")).over(urlW))
-    // certified pages: found k candidates AND the kth is provably closer
-    // than anything the disk could have missed -> exact by construction
-    val certified = topk.filter(col("cnt") >= k && col("kth") < certBound)
-    // everything else (too few in-disk candidates, or kth too far to
-    // certify, e.g. extreme latitudes) -> exact brute force
-    val uncertain = pages.join(
-      certified.select(col("url")).distinct(), Seq("url"), "left_anti")
-    val brute = uncertain
+    // Exactness certificate at disk radius r: a centroid OUTSIDE the
+    // r-disk is >= r+1 cells away in Chebyshev terms, i.e. separated by
+    // >= r full cells along some axis — at least `r * min(cell-height,
+    // cell-width@lat) meters` away. deg->m underestimated (110 km/deg)
+    // and cos taken at the latitude pushed r+1 cells poleward, so the
+    // bound is a strict lower bound on any excluded centroid's distance.
+    // POLAR GUARD: if that pushed latitude exceeds 89.9° the poleward
+    // construction itself stops being a lower bound (cells wrap the
+    // pole), so certify NOTHING there — those pages escalate and end in
+    // the exact brute tail.
+    def certBound(r: Int): Column = {
+      val latFar = abs(col("lat")) + lit((r + 1) * cellDeg)
+      when(latFar > 89.9, lit(0.0))
+        .otherwise(lit(r) * lit(110000.0) * lit(cellDeg) *
+          least(lit(1.0), lit(2.0) * cos(radians(latFar))))
+    }
+    def topkCertified(cands: DataFrame, r: Int): DataFrame =
+      cands
+        .withColumn("dist_m", st_distance_m(col("lon"), col("lat"), col("clon"), col("clat")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .withColumn("cnt", count(lit(1)).over(urlW))
+        .withColumn("kth", max(col("dist_m")).over(urlW))
+        // certified: found k candidates AND the kth is provably closer
+        // than anything the disk could have missed -> exact by construction
+        .filter(col("cnt") >= k && col("kth") < certBound(r))
+
+    // stage 1: centroid-side disk broadcast, single-cell probe
+    val expanded = centroids
+      .withColumn("cell", explode(disk_cells(cell_id(col("clon"), col("clat"), lit(level)), lit(radius))))
+    val cert1 = topkCertified(
+      pages
+        .withColumn("cell", cell_id(col("lon"), col("lat"), lit(level)))
+        .join(broadcast(expanded), "cell"),
+      radius)
+    val uncertain1 = pages.join(
+      cert1.select(col("url")).distinct(), Seq("url"), "left_anti")
+
+    // stage 2: page-side disk expansion at 4x radius against the
+    // single-cell centroid dim
+    val r2 = radius * 4
+    val centCells = centroids
+      .withColumn("cell", cell_id(col("clon"), col("clat"), lit(level)))
+    val cert2 = topkCertified(
+      uncertain1
+        .withColumn("cell", explode(disk_cells(cell_id(col("lon"), col("lat"), lit(level)), lit(r2))))
+        .join(broadcast(centCells), "cell"),
+      r2)
+    val uncertain2 = uncertain1.join(
+      cert2.select(col("url")).distinct(), Seq("url"), "left_anti")
+
+    // stage 3: exact brute tail, size surfaced as an observed metric so
+    // tests (and production monitors) can assert it stays tiny
+    val brute = uncertain2
       .crossJoin(broadcast(centroids))
       .withColumn("dist_m", st_distance_m(col("lon"), col("lat"), col("clon"), col("clat")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      .observe("knn_brute", count(lit(1)).as("n_brute_rows"))
     val cols = Seq("url", "lon", "lat", "clubId", "courseId", "holeNumber", "dist_m", "rank")
-    certified.select(cols.map(col): _*)
+    cert1.select(cols.map(col): _*)
+      .unionByName(cert2.select(cols.map(col): _*))
       .unionByName(brute.select(cols.map(col): _*))
   }
 
   /** J6 — inverted tile index: (z,x,y,qk) -> contained hole feature ids,
-    * built from the rasterize output. */
+    * built from the rasterize output. `features` is a sorted
+    * comma-joined SCALAR string (same information as the id array, but
+    * sortable/hashable by any downstream consumer — array-typed output
+    * columns break flat comparators). */
   def tileReverseIndex(masks: DataFrame): DataFrame =
     masks.groupBy(col("z"), col("x"), col("y"), col("qk"))
       .agg(
-        sort_array(collect_list(concat_ws("/", col("clubId"), col("courseId"),
-          col("holeNumber")))).as("features"),
+        concat_ws(",", sort_array(collect_list(concat_ws("/", col("clubId"),
+          col("courseId"), col("holeNumber"))))).as("features"),
         max(col("coverage")).as("max_coverage"),
         count(lit(1)).as("n_features"))
 }

@@ -26,3 +26,92 @@ object Storage {
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 }
+
+/**
+ * Iceberg-style SNAPSHOT semantics over plain parquet + a JSON manifest
+ * log (no Iceberg jar ships in `/opt/spark/jars`; in production this
+ * module is replaced 1:1 by an Iceberg catalog — the read API mirrors
+ * `VERSION AS OF` / `TIMESTAMP AS OF`). Layout:
+ *
+ *   tableDir/data/<uuid>/part-*.parquet   -- immutable data file groups
+ *   tableDir/manifest/v<id>.json          -- snapshot id -> live file groups
+ *
+ * Every commit writes its rows to a FRESH data directory, then atomically
+ * renames a manifest listing the snapshot's LIVE directories (previous
+ * live set + the new one for `append`; just the new one for `overwrite`).
+ * Data files are never mutated or deleted by commits, so any reader
+ * pinned to an older snapshot id keeps a consistent view while writers
+ * proceed — exactly Iceberg's snapshot-isolation contract.
+ */
+object Snapshots {
+
+  import java.nio.file.{Files, Path, Paths}
+  import scala.jdk.CollectionConverters._
+
+  final case class Snapshot(id: Long, tsMs: Long, dirs: Seq[String])
+
+  private def manifestDir(tableDir: String): Path = Paths.get(tableDir, "manifest")
+
+  /** All committed snapshots, oldest first. */
+  def snapshots(tableDir: String): Seq[Snapshot] = {
+    val dir = manifestDir(tableDir)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val files = {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toVector finally s.close()
+    }
+    files
+      .filter(p => p.getFileName.toString.matches("v\\d+\\.json"))
+      .map { p =>
+        val id = p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong
+        val m = Files.readString(p)
+        val ts = "\"ts_ms\":(\\d+)".r.findFirstMatchIn(m).get.group(1).toLong
+        val dirs = "\"dirs\":\\[([^\\]]*)\\]".r.findFirstMatchIn(m).get.group(1)
+          .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+        Snapshot(id, ts, dirs)
+      }
+      .sortBy(_.id)
+  }
+
+  /** Commit `df` as a new snapshot; returns its id. `overwrite = false`
+    * appends to the previous snapshot's live set (Iceberg fast-append). */
+  def commit(df: DataFrame, tableDir: String, overwrite: Boolean = false): Long = {
+    val prev = snapshots(tableDir)
+    val id = prev.lastOption.map(_.id + 1).getOrElse(1L)
+    val dataDir = s"data/${java.util.UUID.randomUUID()}"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/$dataDir")
+    val live = (if (overwrite) Seq.empty else prev.lastOption.map(_.dirs).getOrElse(Seq.empty)) :+ dataDir
+    Files.createDirectories(manifestDir(tableDir))
+    val tmp = manifestDir(tableDir).resolve(s".v$id.json.tmp")
+    Files.writeString(tmp,
+      s"""{"snapshot_id":$id,"ts_ms":${System.currentTimeMillis()},""" +
+        s""""dirs":[${live.map("\"" + _ + "\"").mkString(",")}]}""")
+    // atomic rename = the snapshot's commit point (same protocol as the
+    // bucket manifest in graft.pipeline.Checkpointed)
+    Files.move(tmp, manifestDir(tableDir).resolve(s"v$id.json"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    id
+  }
+
+  private def readDirs(spark: SparkSession, tableDir: String, s: Snapshot): DataFrame =
+    spark.read.parquet(s.dirs.map(d => s"$tableDir/$d"): _*)
+
+  /** Latest committed snapshot. */
+  def read(spark: SparkSession, tableDir: String): DataFrame =
+    readDirs(spark, tableDir, snapshots(tableDir).last)
+
+  /** `VERSION AS OF` — the exact snapshot id. */
+  def readVersionAsOf(spark: SparkSession, tableDir: String, id: Long): DataFrame = {
+    val s = snapshots(tableDir).find(_.id == id)
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot $id at $tableDir"))
+    readDirs(spark, tableDir, s)
+  }
+
+  /** `TIMESTAMP AS OF` — the last snapshot committed at or before `tsMs`. */
+  def readTimestampAsOf(spark: SparkSession, tableDir: String, tsMs: Long): DataFrame = {
+    val cands = snapshots(tableDir).filter(_.tsMs <= tsMs)
+    if (cands.isEmpty)
+      throw new IllegalArgumentException(s"no snapshot at or before $tsMs at $tableDir")
+    readDirs(spark, tableDir, cands.last)
+  }
+}

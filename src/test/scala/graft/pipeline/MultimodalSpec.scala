@@ -65,6 +65,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(sliced.toSeq === full.slice(32, 48).toSeq)
   }
 
+  test("readBinaryDir: real PNG bytes flow into the media column with " +
+    "header-decoded dimensions (S3)") {
+    val res = Multimodal.readBinaryDir(spark, Multimodal.DefaultResourcesDir)
+    val rows = res.select($"file_name", $"media_meta.width", $"media_meta.height",
+      $"media_meta.n_bytes", $"media").collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getAs[Array[Byte]](4))))
+      .toMap
+    // the reference ships 4 icons + 7 textures
+    assert(rows.size === 11)
+    // known ground truth (parsed independently): icons are 225x225,
+    // HoleBoundary texture is 100x98 at 19665 bytes
+    val (iw, ih, inb, ibytes) = rows("LeafyTree.png")
+    assert(iw === 225 && ih === 225 && inb === 29466)
+    val (tw, th, tnb, tbytes) = rows("HoleBoundary.png")
+    assert(tw === 100 && th === 98 && tnb === 19665)
+    // REAL file bytes, not synthesized: PNG signature + exact length
+    assert(ibytes.length === 29466 &&
+      ibytes.take(8).map(b => f"${b & 0xff}%02x").mkString === "89504e470d0a1a0a")
+    assert(tbytes.take(8).map(b => f"${b & 0xff}%02x").mkString === "89504e470d0a1a0a")
+  }
+
+  test("markersWithIcons: marker rows pick up their icon bytes by itemType") {
+    import graft.data.Courses
+    import graft.SparkEntry
+    val items = Courses.itemsDf(spark, 5)
+    val markers = CourseEngine.markers(items, CourseEngine.boundaries(items))
+    val icons = Multimodal.readBinaryDir(spark, Multimodal.DefaultResourcesDir + "/icons")
+    val joined = Multimodal.markersWithIcons(markers, icons)
+      .select($"itemType", $"icon_w", $"icon_h", length($"icon_bytes")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(Courses.markerTypes.contains(r.getString(0)))
+      assert(r.getInt(1) === 225 && r.getInt(2) === 225 && r.getInt(3) === 29466)
+    }
+  }
+
   test("resizeImages: schema contract holds and output is deterministic") {
     val rs = Multimodal.resizeImages(media, 128, 128)
     val rows = rs.select($"media_meta.width", $"media_meta.height", length($"media")).collect()

@@ -116,6 +116,37 @@ class PipelineSpec extends AnyFunSuite {
         s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 
+  test("unknown itemType: warn metric counts it, output drops it (P5)") {
+    val items = Courses.itemsDf(spark, 3)
+    val planted = items.unionByName(
+      items.filter($"itemType" === "FairwayTrace").limit(1)
+        .withColumn("itemType", lit("UfoLandingPad")))
+    val b = CourseEngine.boundaries(planted)
+    val out = CourseEngine.clippedPolygons(planted, b)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getAs[String]("itemType") == "UfoLandingPad"),
+      "unknown type leaked into the output")
+    val metric = out.queryExecution.observedMetrics("unknown_items_polygon")
+    assert(metric.getAs[Long]("n_unknown_items") == 1L,
+      s"warn metric should count exactly the planted unknown, got $metric")
+    // control: the same pipeline without the plant reports zero unknowns
+    val clean = CourseEngine.clippedPolygons(items, b)
+    clean.collect()
+    assert(clean.queryExecution.observedMetrics("unknown_items_polygon")
+      .getAs[Long]("n_unknown_items") == 0L)
+  }
+
+  test("kNN brute tail stays tiny (observed metric bounds the fallback)") {
+    val df = SparkEntry.queries("q49_knn_courses")(spark, sfDir)
+    val n = df.count()
+    assert(n > 0)
+    val brute = df.queryExecution.observedMetrics.get("knn_brute")
+      .map(_.getAs[Long]("n_brute_rows")).getOrElse(0L)
+    assert(brute <= n / 20,
+      s"brute-forced $brute of $n kNN rows — ring expansion should certify >95%")
+  }
+
   test("clip join: areas positive and bounded by boundary area (J1/U3)") {
     val items = Courses.itemsDf(spark, SparkEntry.NCourses)
     val clipped = CourseEngine.clippedPolygons(items, bounds)

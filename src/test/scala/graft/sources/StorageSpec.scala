@@ -40,4 +40,37 @@ class StorageSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS docs_b")
     spark.sql("DROP TABLE IF EXISTS lens_b")
   }
+
+  test("snapshot manifest: append/overwrite commits, version + timestamp time travel") {
+    val dir = Files.createTempDirectory("graft-snapshots").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    val v1 = Snapshots.commit(docs.filter($"doc_id" < 10), dir)
+    val v2 = Snapshots.commit(docs.filter($"doc_id" >= 10 && $"doc_id" < 20), dir) // append
+    val v3 = Snapshots.commit(docs.filter($"doc_id" >= 100 && $"doc_id" < 105), dir,
+      overwrite = true)
+    assert(Seq(v1, v2, v3) === Seq(1L, 2L, 3L))
+
+    // latest = the overwrite
+    assert(Snapshots.read(spark, dir).count() === 5)
+    // VERSION AS OF: v1 = first slice only; v2 = v1 + append
+    assert(Snapshots.readVersionAsOf(spark, dir, v1).count() === 10)
+    val v2ids = Snapshots.readVersionAsOf(spark, dir, v2)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(v2ids === (0L until 20L).toSet)
+    // older snapshots stay consistent after later commits (snapshot isolation)
+    assert(Snapshots.readVersionAsOf(spark, dir, v1)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet === (0L until 10L).toSet)
+
+    // TIMESTAMP AS OF: each snapshot's own commit ts resolves to itself
+    val snaps = Snapshots.snapshots(dir)
+    assert(Snapshots.readTimestampAsOf(spark, dir, snaps(1).tsMs).count() === 20)
+    assert(Snapshots.readTimestampAsOf(spark, dir, Long.MaxValue).count() === 5)
+    intercept[IllegalArgumentException] {
+      Snapshots.readTimestampAsOf(spark, dir, snaps.head.tsMs - 1)
+    }
+    intercept[IllegalArgumentException] {
+      Snapshots.readVersionAsOf(spark, dir, 99L)
+    }
+  }
 }
