@@ -483,20 +483,202 @@ object Geom {
     tris.toArray
   }
 
+  // ---------------------------------------------------------------------
+  // Greiner–Hormann boundary tracing — the TRUE intersection boundary for
+  // concave×concave pairs (what shapely's `intersection` returns, minus
+  // the degenerate configurations it resolves with exact arithmetic).
+  // ---------------------------------------------------------------------
+
+  /** Doubly-linked traversal node: a ring vertex or an edge crossing. */
+  private final class GHNode(val x: Double, val y: Double, val isInter: Boolean) {
+    var next: GHNode = _
+    var twin: GHNode = _    // same crossing on the other ring
+    var entry = false       // crossing INTO the other ring (subject side)
+    var visited = false
+  }
+
+  /**
+   * True-boundary intersection of two simple rings via Greiner–Hormann
+   * with forward-only switching (valid for CCW∩CCW with transversal
+   * crossings). Returns the boundary pieces exactly as shapely would
+   * (piece edges lie ON an input boundary — no triangulation seams);
+   * an EMPTY array when the intersection is provably empty; and NULL
+   * when the configuration is degenerate — vertex-on-boundary contact,
+   * collinear overlapping edges, coincident or endpoint crossings, or an
+   * inconsistent crossing parity — in which case the caller falls back
+   * to the exact-area triangulated partition ([[intersectionPieces]]).
+   */
+  def intersectionBoundary(subjectIn: Array[Double], clipIn: Array[Double]): Array[Array[Double]] = {
+    val subject = toCCW(dropClosingDup(subjectIn))
+    val clip = toCCW(dropClosingDup(clipIn))
+    val ns = nPts(subject); val nc = nPts(clip)
+    if (ns < 3 || nc < 3) return null
+    val es = envelope(subject); val ec = envelope(clip)
+    if (es(2) < ec(0) || ec(2) < es(0) || es(3) < ec(1) || ec(3) < es(1))
+      return Array.empty
+    // degeneracy gate 1: any vertex of one ring ON the other's boundary
+    var i = 0
+    while (i < ns) {
+      if (onBoundary(Array(clip), subject(2 * i), subject(2 * i + 1))) return null
+      i += 1
+    }
+    i = 0
+    while (i < nc) {
+      if (onBoundary(Array(subject), clip(2 * i), clip(2 * i + 1))) return null
+      i += 1
+    }
+    // collect strict transversal crossings per (subject edge, clip edge)
+    // crossings(k) = (si, t, ci, u, x, y)
+    val crossings = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Int, Double, Double, Double)]
+    i = 0
+    while (i < ns) {
+      val ax = subject(2 * i); val ay = subject(2 * i + 1)
+      val i2 = (i + 1) % ns
+      val bx = subject(2 * i2); val by = subject(2 * i2 + 1)
+      val rx = bx - ax; val ry = by - ay
+      var j = 0
+      while (j < nc) {
+        val cx = clip(2 * j); val cy = clip(2 * j + 1)
+        val j2 = (j + 1) % nc
+        val dx = clip(2 * j2); val dy = clip(2 * j2 + 1)
+        val sx = dx - cx; val sy = dy - cy
+        val den = rx * sy - ry * sx
+        val qpx = cx - ax; val qpy = cy - ay
+        if (den == 0.0) {
+          // parallel; collinear + 1-D overlap = degenerate shared edge
+          if (qpx * ry - qpy * rx == 0.0) {
+            val lo1 = Math.min(ax, bx); val hi1 = Math.max(ax, bx)
+            val lo2 = Math.min(cx, dx); val hi2 = Math.max(cx, dx)
+            val lo1y = Math.min(ay, by); val hi1y = Math.max(ay, by)
+            val lo2y = Math.min(cy, dy); val hi2y = Math.max(cy, dy)
+            if (Math.min(hi1, hi2) > Math.max(lo1, lo2) ||
+                Math.min(hi1y, hi2y) > Math.max(lo1y, lo2y)) return null
+          }
+        } else {
+          val t = (qpx * sy - qpy * sx) / den
+          val u = (qpx * ry - qpy * rx) / den
+          if (t > 0.0 && t < 1.0 && u > 0.0 && u < 1.0) {
+            crossings += ((i, t, j, u, ax + t * rx, ay + t * ry))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (crossings.isEmpty) {
+      // no crossings + no boundary contact: containment or disjoint
+      if (rayCrossings(clip, subject(0), subject(1))) return Array(subject.clone())
+      if (rayCrossings(subject, clip(0), clip(1))) return Array(clip.clone())
+      return Array.empty
+    }
+    if (crossings.length % 2 != 0) return null // non-transversal residue
+    // degeneracy gate 2: coincident crossing points
+    val seen = new scala.collection.mutable.HashSet[(Double, Double)]
+    crossings.foreach { c => if (!seen.add((c._5, c._6))) return null }
+
+    // build the two circular node lists (vertices + ordered crossings)
+    def buildRing(ring: Array[Double], n: Int,
+                  key: ((Int, Double, Int, Double, Double, Double)) => (Int, Double),
+                  attach: (Int, GHNode) => Unit): GHNode = {
+      var head: GHNode = null; var tail: GHNode = null
+      def append(nd: GHNode): Unit = {
+        if (head == null) head = nd else tail.next = nd
+        tail = nd
+      }
+      var v = 0
+      while (v < n) {
+        append(new GHNode(ring(2 * v), ring(2 * v + 1), isInter = false))
+        val onEdge = crossings.zipWithIndex
+          .filter { case (c, _) => key(c)._1 == v }
+          .sortBy { case (c, _) => key(c)._2 }
+        onEdge.foreach { case (c, ci) =>
+          val nd = new GHNode(c._5, c._6, isInter = true)
+          attach(ci, nd)
+          append(nd)
+        }
+        v += 1
+      }
+      tail.next = head
+      head
+    }
+    val subNodes = new Array[GHNode](crossings.length)
+    val clipNodes = new Array[GHNode](crossings.length)
+    val subHead = buildRing(subject, ns, c => (c._1, c._2), (ci, nd) => subNodes(ci) = nd)
+    buildRing(clip, nc, c => (c._3, c._4), (ci, nd) => clipNodes(ci) = nd)
+    i = 0
+    while (i < crossings.length) {
+      subNodes(i).twin = clipNodes(i)
+      clipNodes(i).twin = subNodes(i)
+      i += 1
+    }
+    // entry/exit by parity walk from subject vertex 0 (proven off-boundary)
+    var inside = rayCrossings(clip, subject(0), subject(1))
+    val inside0 = inside
+    var node = subHead
+    var walked = 0
+    val totalSub = ns + crossings.length
+    while (walked < totalSub) {
+      if (node.isInter) { node.entry = !inside; inside = !inside }
+      node = node.next
+      walked += 1
+    }
+    if (inside != inside0) return null // parity must close
+
+    // trace: forward from each unvisited subject-entry crossing, switching
+    // rings at every crossing, until the loop closes at the start
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val maxSteps = 4 * (ns + nc + 2 * crossings.length)
+    i = 0
+    while (i < crossings.length) {
+      val start = subNodes(i)
+      if (start.entry && !start.visited) {
+        val pts = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var cur: GHNode = start
+        var guard = 0
+        var closed = false
+        while (!closed) {
+          cur.visited = true; cur.twin.visited = true
+          pts += cur.x; pts += cur.y
+          var nxt = cur.next
+          while (!nxt.isInter) {
+            pts += nxt.x; pts += nxt.y
+            nxt = nxt.next
+            guard += 1
+            if (guard > maxSteps) return null
+          }
+          if ((nxt eq start) || (nxt.twin eq start)) closed = true
+          else {
+            if (nxt.visited && !(nxt eq start) && !(nxt.twin eq start)) return null // re-entered a foreign loop
+            cur = nxt.twin
+          }
+          guard += 1
+          if (guard > maxSteps) return null
+        }
+        val piece = pts.toArray
+        if (nPts(piece) < 3 || area(piece) == 0.0) return null
+        pieces += piece
+      }
+      i += 1
+    }
+    if (pieces.isEmpty) Array.empty else pieces.toArray
+  }
+
   /**
    * General intersection of two simple rings as DISJOINT PIECES (the
    * MultiPolygon case the reference's shapely call handles and its
    * renderer then crashes on — we return the pieces). Convex×convex is
    * the exact single-piece [[intersection]] (a convex∩convex region is
-   * one convex piece, so Sutherland–Hodgman is exact AND single-piece);
-   * in every other combination the non-convex ring(s) are triangulated
-   * and all triangle/ring pairs are S-H-clipped — each pair has a convex
-   * clip AND convex subject, so every piece is a genuine simple convex
-   * polygon (no S-H bridge-edge artifacts, which a concave subject
-   * against a convex clip CAN produce when the true result is
-   * multi-piece). The pieces partition the true intersection: total area
-   * exact, piece boundaries follow the triangulation. Null when empty or
-   * degenerate (the reference's None class).
+   * one convex piece, so Sutherland–Hodgman is exact AND single-piece).
+   * Every other combination goes to Greiner–Hormann boundary tracing
+   * ([[intersectionBoundary]]) — the TRUE piece boundaries, as shapely
+   * returns them. When GH reports a degenerate configuration (vertex
+   * contact, collinear overlap, coincident crossings) the non-convex
+   * ring(s) are triangulated and all triangle/ring pairs S-H-clipped —
+   * each pair convex×convex, so every fallback piece is a genuine simple
+   * convex polygon, the pieces partition the true intersection, and the
+   * total area is exact (boundaries follow the triangulation seams in
+   * this fallback only). Null when empty or degenerate (the reference's
+   * None class).
    */
   def intersectionPieces(subjectIn: Array[Double], clipIn: Array[Double]): Array[Array[Double]] = {
     val subject = dropClosingDup(subjectIn)
@@ -508,6 +690,8 @@ object Geom {
     }
     val es = envelope(subject); val ec = envelope(clip)
     if (es(2) < ec(0) || ec(2) < es(0) || es(3) < ec(1) || ec(3) < es(1)) return null
+    val gh = intersectionBoundary(subject, clip)
+    if (gh != null) return if (gh.isEmpty) null else gh
     val trisS = if (isConvex(subject)) Array(subject) else triangulate(subject)
     val trisC = if (isConvex(clip)) Array(clip) else triangulate(clip)
     if (trisS == null || trisC == null) return null

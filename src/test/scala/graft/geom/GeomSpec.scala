@@ -199,7 +199,7 @@ class GeomSpec extends AnyFunSuite with graft.PropHelper {
     val lShape = Array(1.0, 1, 7, 1, 7, 3, 3, 3, 3, 6, 1, 6)
     assert(!Geom.isConvex(uShape) && !Geom.isConvex(lShape))
     val pieces = Geom.intersectionPieces(uShape, lShape)
-    assert(pieces != null && pieces.length >= 2) // genuinely multi-piece-ish
+    assert(pieces != null && pieces.nonEmpty)
     val got = pieces.map(Geom.area).sum
     // deterministic grid integration over the envelope as the oracle
     val n = 600
@@ -277,6 +277,146 @@ class GeomSpec extends AnyFunSuite with graft.PropHelper {
     val uShape = Array(0.0, 0, 6, 0, 6, 4, 4, 4, 4, 2, 2, 2, 2, 4, 0, 4)
     val far = uShape.zipWithIndex.map { case (v, i) => if (i % 2 == 0) v + 100 else v }
     assert(Geom.intersectionPieces(uShape, far) == null)
+  }
+
+  // ---- Greiner–Hormann true-boundary tracing ----
+  test("GH: offset squares -> the exact overlap square, one piece") {
+    val a = Array(0.0, 0, 2, 0, 2, 2, 0, 2)
+    val b = Array(1.0, 1, 3, 1, 3, 3, 1, 3)
+    val gh = Geom.intersectionBoundary(a, b)
+    assert(gh != null && gh.length == 1)
+    assert(Math.abs(Geom.area(gh(0)) - 1.0) < 1e-12)
+    val pts = (0 until Geom.nPts(gh(0))).map(i => (gh(0)(2 * i), gh(0)(2 * i + 1))).toSet
+    assert(pts == Set((1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0)))
+  }
+
+  test("GH: every result edge midpoint lies ON an input boundary (true boundary, " +
+    "no triangulation seams)") {
+    val uShape = Array(0.0, 0, 6, 0, 6, 4, 4, 4, 4, 2, 2, 2, 2, 4, 0, 4)
+    val lShape = Array(1.0, 1, 7, 1, 7, 3, 3, 3, 3, 6, 1, 6)
+    val gh = Geom.intersectionBoundary(uShape, lShape)
+    assert(gh != null && gh.nonEmpty)
+    gh.foreach { p =>
+      val n = Geom.nPts(p)
+      (0 until n).foreach { i =>
+        val j = (i + 1) % n
+        val mx = (p(2 * i) + p(2 * j)) / 2; val my = (p(2 * i + 1) + p(2 * j + 1)) / 2
+        assert(Geom.onBoundary(Array(uShape), mx, my) ||
+          Geom.onBoundary(Array(lShape), mx, my),
+          s"edge midpoint ($mx,$my) on neither input boundary")
+      }
+    }
+  }
+
+  test("GH: genuinely multi-piece crossing (bar through a U) -> two true pieces") {
+    val uShape = Array(0.0, 0, 6, 0, 6, 6, 4, 6, 4, 2, 2, 2, 2, 6, 0, 6)
+    // a thin horizontal bar crossing both arms above the notch floor
+    val bar = Array(-1.0, 3, 7, 3, 7, 5, -1, 5)
+    val gh = Geom.intersectionBoundary(uShape, bar)
+    assert(gh != null && gh.length == 2)
+    // each arm contributes a 2x2 rectangle
+    gh.foreach(p => assert(Math.abs(Geom.area(p) - 4.0) < 1e-12))
+  }
+
+  test("GH: containment and disjoint without crossings") {
+    val big = Array(0.0, 0, 10, 0, 10, 10, 0, 10)
+    val uShape = Array(1.0, 1, 6, 1, 6, 4, 4, 4, 4, 2, 2, 2, 2, 4, 1, 4)
+    val inside = Geom.intersectionBoundary(uShape, big)
+    assert(inside != null && inside.length == 1 &&
+      Math.abs(inside(0).sorted.sum - uShape.sorted.sum) < 1e-12) // subject returned
+    val outside = Geom.intersectionBoundary(uShape,
+      big.zipWithIndex.map { case (v, i) => if (i % 2 == 0) v + 100 else v })
+    assert(outside != null && outside.isEmpty)
+  }
+
+  test("GH: degenerate contact (shared vertex on edge) -> null, fallback exact area") {
+    val uShape = Array(0.0, 0, 6, 0, 6, 4, 4, 4, 4, 2, 2, 2, 2, 4, 0, 4)
+    // clip with one vertex exactly ON the subject's bottom edge -> GH refuses
+    val touching = Array(3.0, 0, 8, -2, 8, 3, 3, 3, 5, 1)
+    assert(!Geom.isConvex(touching))
+    val gh = Geom.intersectionBoundary(uShape, touching)
+    assert(gh == null)
+    // intersectionPieces still answers via the triangulated partition
+    val pieces = Geom.intersectionPieces(uShape, touching)
+    assert(pieces != null && pieces.nonEmpty)
+    val got = pieces.map(Geom.area).sum
+    // grid oracle over the joint envelope
+    val n = 500
+    var hits = 0
+    (0 until n).foreach { i =>
+      (0 until n).foreach { j =>
+        val px = 0.0 + 8.0 * (i + 0.5) / n
+        val py = -2.0 + 6.0 * (j + 0.5) / n
+        if (Geom.containsStrict(Array(uShape), px, py) &&
+            Geom.containsStrict(Array(touching), px, py)) hits += 1
+      }
+    }
+    val est = hits.toDouble * (8.0 * 6.0) / (n.toDouble * n)
+    assert(Math.abs(got - est) < 0.08 * Math.max(est, 0.1), s"pieces=$got grid=$est")
+  }
+
+  test("GH vs triangulated partition: areas agree on random concave pairs") {
+    val rnd = new scala.util.Random(29)
+    var ghHits = 0
+    (0 until 120).foreach { _ =>
+      def noisyRing(cx: Double, cy: Double): Array[Double] = {
+        val n = 6 + rnd.nextInt(14)
+        (0 until n).flatMap { i =>
+          val a = 2 * Math.PI * i / n
+          val rr = 0.5 + rnd.nextDouble() * 1.5
+          Seq(cx + rr * Math.cos(a), cy + 0.8 * rr * Math.sin(a))
+        }.toArray
+      }
+      val s = noisyRing(0, 0)
+      val c = noisyRing(rnd.nextDouble() * 2 - 1, rnd.nextDouble() * 2 - 1)
+      if (Geom.isRingValid(s) && Geom.isRingValid(c) &&
+          !Geom.isConvex(s) && !Geom.isConvex(c)) {
+        val gh = Geom.intersectionBoundary(s, c)
+        if (gh != null && gh.nonEmpty) {
+          ghHits += 1
+          val ghArea = gh.map(Geom.area).sum
+          // independent exact-area oracle: triangulate both, S-H all pairs
+          val tris = for {
+            ts <- Geom.triangulate(s).toSeq
+            tc <- Geom.triangulate(c).toSeq
+            p = Geom.intersection(ts, tc) if p != null
+          } yield Geom.area(p)
+          val triArea = tris.sum
+          assert(Math.abs(ghArea - triArea) < 1e-9 * Math.max(1.0, triArea),
+            s"GH=$ghArea triangulated=$triArea")
+          // true-boundary property: every piece edge midpoint within float
+          // noise of an input boundary (crossing coords are computed, so
+          // the exact on-segment predicate can't be used here)
+          def distToRing(ring: Array[Double], px: Double, py: Double): Double = {
+            val n = Geom.nPts(ring)
+            var best = Double.MaxValue
+            (0 until n).foreach { i =>
+              val j = (i + 1) % n
+              val ax = ring(2 * i); val ay = ring(2 * i + 1)
+              val bx = ring(2 * j); val by = ring(2 * j + 1)
+              val dx = bx - ax; val dy = by - ay
+              val len2 = dx * dx + dy * dy
+              val t = if (len2 == 0) 0.0
+                else Math.max(0.0, Math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
+              val ex = ax + t * dx - px; val ey = ay + t * dy - py
+              best = Math.min(best, Math.sqrt(ex * ex + ey * ey))
+            }
+            best
+          }
+          gh.foreach { p =>
+            val n = Geom.nPts(p)
+            (0 until n).foreach { i =>
+              val j = (i + 1) % n
+              val mx = (p(2 * i) + p(2 * j)) / 2
+              val my = (p(2 * i + 1) + p(2 * j + 1)) / 2
+              val d = Math.min(distToRing(s, mx, my), distToRing(c, mx, my))
+              assert(d < 1e-9, s"piece edge midpoint $d off both input boundaries")
+            }
+          }
+        }
+      }
+    }
+    assert(ghHits > 20, s"GH path exercised only $ghHits times — generator too degenerate")
   }
 
   // ---- haversine / viewport ----
