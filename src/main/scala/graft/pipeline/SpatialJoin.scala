@@ -267,8 +267,15 @@ object SpatialJoin {
         .withColumn("cell", cell_id(col("lon"), col("lat"), lit(level)))
         .join(broadcast(expanded), "cell"),
       radius)
+    // persisted: uncertain sets are TINY by construction (the certificate
+    // covers the dense common case), but each feeds TWO branches (its
+    // stage's candidates and the next stage's anti-join) — without a
+    // materialization point, every downstream branch would re-evaluate
+    // the whole upstream stage, multiplying full pages-table passes at
+    // 10^12-row scale
     val uncertain1 = pages.join(
       cert1.select(col("url")).distinct(), Seq("url"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // stage 2: page-side disk expansion at 4x radius against the
     // single-cell centroid dim
@@ -282,6 +289,7 @@ object SpatialJoin {
       r2)
     val uncertain2 = uncertain1.join(
       cert2.select(col("url")).distinct(), Seq("url"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // stage 3: exact brute tail, size surfaced as an observed metric so
     // tests (and production monitors) can assert it stays tiny
