@@ -110,21 +110,37 @@ object PageStream {
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }
 
+  /** Schema of the `_metrics` lineage log. */
+  val metricsSchema: StructType = StructType(Seq(
+    StructField("batch_id", LongType),
+    StructField("num_input_rows", LongType),
+    StructField("event_ts", StringType),
+    StructField("query_id", StringType)))
+
   /**
-   * S6 made durable: every micro-batch appends one lineage row to a
-   * `_metrics` parquet table (batch id, rows, event timestamp, query id) —
-   * the queryable form of the reference's progress lines, and the stream
-   * counterpart of [[graft.pipeline.Checkpointed]]'s per-bucket manifest.
+   * S6 made durable: every micro-batch APPENDS ONE JSON LINE to a single
+   * `_metrics/metrics.jsonl` log (batch id, rows, event timestamp, query
+   * id) — the queryable form of the reference's progress lines, and the
+   * stream counterpart of [[graft.pipeline.Checkpointed]]'s per-bucket
+   * manifest. A driver-side O_APPEND line write, NOT a parquet write per
+   * event: at production cadence (a micro-batch every few seconds for
+   * months) one-file-per-batch is a small-files explosion that kills the
+   * downstream listing; a line-appended log stays one file and Spark's
+   * json source reads it with an explicit schema (no inference pass).
    */
   final class MetricsSink(spark: SparkSession, metricsDir: String)
       extends StreamingQueryListener {
+    private val dir = java.nio.file.Paths.get(metricsDir)
     override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
     override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
-      import spark.implicits._
-      Seq((e.progress.batchId, e.progress.numInputRows, e.progress.timestamp,
-        e.progress.id.toString))
-        .toDF("batch_id", "num_input_rows", "event_ts", "query_id")
-        .coalesce(1).write.mode("append").parquet(metricsDir)
+      java.nio.file.Files.createDirectories(dir)
+      val line =
+        s"""{"batch_id":${e.progress.batchId},"num_input_rows":${e.progress.numInputRows},""" +
+          s""""event_ts":"${e.progress.timestamp}","query_id":"${e.progress.id}"}""" + "\n"
+      java.nio.file.Files.write(dir.resolve("metrics.jsonl"),
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     }
     override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
   }
@@ -132,7 +148,7 @@ object PageStream {
   /** T3 — the reference renderer keeps only the most recent handful of
     * previews (`renderer.js:35`); relational form: last `n` batches. */
   def recentBatches(spark: SparkSession, metricsDir: String, n: Int = 5): DataFrame =
-    spark.read.parquet(metricsDir)
+    spark.read.schema(metricsSchema).json(metricsDir)
       .orderBy(col("batch_id").desc, col("event_ts").desc)
       .limit(n)
 }

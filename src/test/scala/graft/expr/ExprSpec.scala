@@ -82,6 +82,43 @@ class ExprSpec extends AnyFunSuite {
     assert(e.getDouble(0) == 2.0 && e.getDouble(1) == 2.0 && e.getDouble(2) == 4.0 && e.getDouble(3) == 4.0)
   }
 
+  test("st_intersection composes: multi-piece output intersected again keeps ALL pieces") {
+    // bar through a U -> TWO pieces (2x2 each); intersecting that result
+    // with a box covering only the RIGHT arm must keep the right piece —
+    // a ring-0-only implementation would silently drop whichever piece
+    // sorted second and lose area
+    val df = spark.sql(
+      """SELECT st_intersection(
+        |  st_intersection(
+        |    make_polygon(array(struct(0.0d as x, 0.0d as y), struct(6.0d as x, 0.0d as y),
+        |                       struct(6.0d as x, 6.0d as y), struct(4.0d as x, 6.0d as y),
+        |                       struct(4.0d as x, 2.0d as y), struct(2.0d as x, 2.0d as y),
+        |                       struct(2.0d as x, 6.0d as y), struct(0.0d as x, 6.0d as y))),
+        |    make_polygon(array(struct(-1.0d as x, 3.0d as y), struct(7.0d as x, 3.0d as y),
+        |                       struct(7.0d as x, 5.0d as y), struct(-1.0d as x, 5.0d as y)))),
+        |  make_polygon(array(struct(3.0d as x, 2.5d as y), struct(7.0d as x, 2.5d as y),
+        |                     struct(7.0d as x, 5.5d as y), struct(3.0d as x, 5.5d as y)))) AS p""".stripMargin)
+    val both = df.select(st_area($"p").as("a"), size($"p").as("n_pieces")).collect()(0)
+    // bar ∩ U = two 2x2 arm rectangles; ∩ right box = the right one (2x2)
+    assert(Math.abs(both.getDouble(0) - 4.0) < 1e-12, s"area=${both.getDouble(0)}")
+    // and the total area over BOTH pieces is preserved when the second
+    // operand covers everything
+    val full = spark.sql(
+      """SELECT st_intersection(
+        |  st_intersection(
+        |    make_polygon(array(struct(0.0d as x, 0.0d as y), struct(6.0d as x, 0.0d as y),
+        |                       struct(6.0d as x, 6.0d as y), struct(4.0d as x, 6.0d as y),
+        |                       struct(4.0d as x, 2.0d as y), struct(2.0d as x, 2.0d as y),
+        |                       struct(2.0d as x, 6.0d as y), struct(0.0d as x, 6.0d as y))),
+        |    make_polygon(array(struct(-1.0d as x, 3.0d as y), struct(7.0d as x, 3.0d as y),
+        |                       struct(7.0d as x, 5.0d as y), struct(-1.0d as x, 5.0d as y)))),
+        |  make_polygon(array(struct(-9.0d as x, -9.0d as y), struct(9.0d as x, -9.0d as y),
+        |                     struct(9.0d as x, 9.0d as y), struct(-9.0d as x, 9.0d as y)))) AS p""".stripMargin)
+    val f = full.select(st_area($"p").as("a"), size($"p").as("n")).collect()(0)
+    assert(Math.abs(f.getDouble(0) - 8.0) < 1e-12 && f.getInt(1) == 2,
+      s"area=${f.getDouble(0)} pieces=${f.getInt(1)} — a piece was dropped")
+  }
+
   test("st_intersection disjoint -> null row survives (reference None)") {
     val df = spark.sql(
       """SELECT st_intersection(

@@ -241,4 +241,24 @@ class PipelineSpec extends AnyFunSuite {
   test("entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("flagship plan shape: zero shuffle on the probe side, broadcast-only joins") {
+    val p = Pages.pages(spark, sfDir, SparkEntry.Amp)
+    // dims localized (the published-index production shape; the dim BUILD
+    // legitimately shuffles once per polygon-set version, which is not
+    // what this test pins)
+    def localize(df: org.apache.spark.sql.DataFrame) =
+      spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+    val b = localize(bounds)
+    val joined = SpatialJoin.assignPagesFlat(p, localize(SpatialJoin.coverDfFlat(bounds)), b)
+    joined.count()
+    val plan = joined.queryExecution.executedPlan.toString
+    // the pages stream must reach the output through broadcast-hash probes
+    // only — any hash-partitioning exchange means the 10^12-row side is
+    // being shuffled and the plan regressed
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"probe-side shuffle appeared:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+    assert(plan.contains("st_contains_flat"), "exact PIP refine missing from the plan")
+  }
 }

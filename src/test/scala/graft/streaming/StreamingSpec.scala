@@ -65,8 +65,11 @@ class StreamingSpec extends AnyFunSuite {
       assert(seen.map(_.numInputRows).sum === allPages.count())
 
       // durable _metrics lineage rows agree with the in-memory events (S6),
-      // and the preview-limit consumer reads at most n of them (T3)
-      val m = spark.read.parquet(s"$base/_metrics")
+      // and the preview-limit consumer reads at most n of them (T3).
+      // The log is ONE appended jsonl file regardless of batch count (the
+      // small-files-per-micro-batch anti-pattern is the thing under test)
+      assert(new java.io.File(s"$base/_metrics").listFiles().count(_.isFile) === 1)
+      val m = spark.read.schema(PageStream.metricsSchema).json(s"$base/_metrics")
       assert(m.count() === seen.length)
       assert(m.agg(sum($"num_input_rows")).head().getLong(0) === allPages.count())
       assert(PageStream.recentBatches(spark, s"$base/_metrics", 2).count() <= 2)
