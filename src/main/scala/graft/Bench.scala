@@ -39,10 +39,7 @@ object Bench {
     // the cover index is a once-per-dataset build (amortized over 10^12
     // pages in production): build it, then localize to LocalRelations so
     // the timed query plans only the join, not the index lineage
-    def localize(df: org.apache.spark.sql.DataFrame) = {
-      val rows = java.util.Arrays.asList(df.collect(): _*)
-      spark.createDataFrame(rows, df.schema)
-    }
+    def localize(df: org.apache.spark.sql.DataFrame) = sources.Storage.localize(df)
     val bounds0 = pipeline.CourseEngine.boundaries(
       data.Courses.itemsDf(spark, SparkEntry.NCourses))
     val bounds = localize(bounds0)
@@ -70,10 +67,7 @@ object Bench {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .repartition(parts).persist()
     docs.count()
-    def localize(df: org.apache.spark.sql.DataFrame) = {
-      val rows = java.util.Arrays.asList(df.collect(): _*)
-      spark.createDataFrame(rows, df.schema)
-    }
+    def localize(df: org.apache.spark.sql.DataFrame) = sources.Storage.localize(df)
     val bounds0 = pipeline.CourseEngine.boundaries(
       data.Courses.itemsDf(spark, SparkEntry.NCourses))
     val cents = bounds0.select(gf.st_envelope(col("boundary")).as("e"))

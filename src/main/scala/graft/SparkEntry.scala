@@ -47,21 +47,16 @@ object SparkEntry {
   private val dimCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private def localized(df: DataFrame): DataFrame = {
-    val rows = java.util.Arrays.asList(df.collect(): _*)
-    df.sparkSession.createDataFrame(rows, df.schema)
-  }
-
   private def itemsDf(spark: SparkSession): DataFrame =
     dimCache.computeIfAbsent((spark, "items"), _ => {
       graft.functions.registerAll(spark)
-      localized(Courses.itemsDf(spark, NCourses))
+      graft.sources.Storage.localize(Courses.itemsDf(spark, NCourses))
     })
 
   private def boundsDf(spark: SparkSession): DataFrame =
     dimCache.computeIfAbsent((spark, "bounds"), _ => {
       graft.functions.registerAll(spark)
-      localized(CourseEngine.boundaries(itemsDf(spark)))
+      graft.sources.Storage.localize(CourseEngine.boundaries(itemsDf(spark)))
     })
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))

@@ -25,6 +25,18 @@ object Storage {
       .saveAsTable(table)
 
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /**
+   * Materialize a SMALL batch-built dimension (cover index, boundary dim,
+   * style catalog) into a `LocalRelation` — the "publish the index"
+   * step: consumers embed the dim rows directly instead of re-planning
+   * (and re-executing) the dim's build lineage once per referencing
+   * branch. Only for dims that fit the driver; the big side of a join
+   * never goes through here.
+   */
+  def localize(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
 }
 
 /**

@@ -85,10 +85,7 @@ object PageStream {
    * join, not a live sub-query re-planned per micro-batch; collapsing its
    * build lineage is exactly what "publish the index" means.
    */
-  def localizeDim(df: DataFrame): DataFrame = {
-    val spark = df.sparkSession
-    spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
-  }
+  def localizeDim(df: DataFrame): DataFrame = graft.sources.Storage.localize(df)
 
   /** One progress event per completed micro-batch — the analog of the
     * reference's `"Generated image: <path>"` lines. */

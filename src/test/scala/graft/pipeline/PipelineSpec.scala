@@ -247,8 +247,7 @@ class PipelineSpec extends AnyFunSuite {
     // dims localized (the published-index production shape; the dim BUILD
     // legitimately shuffles once per polygon-set version, which is not
     // what this test pins)
-    def localize(df: org.apache.spark.sql.DataFrame) =
-      spark.createDataFrame(java.util.Arrays.asList(df.collect(): _*), df.schema)
+    def localize(df: org.apache.spark.sql.DataFrame) = graft.sources.Storage.localize(df)
     val b = localize(bounds)
     val joined = SpatialJoin.assignPagesFlat(p, localize(SpatialJoin.coverDfFlat(bounds)), b)
     joined.count()
