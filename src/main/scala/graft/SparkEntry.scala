@@ -53,11 +53,16 @@ object SparkEntry {
       graft.sources.Storage.localize(Courses.itemsDf(spark, NCourses))
     })
 
-  private def boundsDf(spark: SparkSession): DataFrame =
+  private def boundsDf(spark: SparkSession): DataFrame = {
+    // resolve the items dim BEFORE entering the bounds mapping function:
+    // a computeIfAbsent that re-enters the same ConcurrentHashMap throws
+    // "Recursive update"
+    val items = itemsDf(spark)
     dimCache.computeIfAbsent((spark, "bounds"), _ => {
       graft.functions.registerAll(spark)
-      graft.sources.Storage.localize(CourseEngine.boundaries(itemsDf(spark)))
+      graft.sources.Storage.localize(CourseEngine.boundaries(items))
     })
+  }
 
   private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
 
@@ -284,6 +289,77 @@ object SparkEntry {
       t(s, d, "documents").select(col("doc_id"),
         nStop.as("n_stop"),
         round(nStop.cast("double") / size(toks).cast("double"), 6).as("stop_ratio"))
+    }),
+
+    // ---- training-data curation: repetition / sampling / gating /
+    // per-domain stats (the Gopher/C4-style rule family) ----
+    "q52_repetition" -> ((s, d) => {
+      // Gopher-style repetition signals: top-bigram fraction + distinct-
+      // token ratio. Bigram counting is RELATIONAL (explode -> groupBy):
+      // partial aggregation collapses each doc's bigrams map-side, so the
+      // shuffle carries one row per (doc, distinct bigram) — no per-doc
+      // driver work, scales to any doc length
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      val bigrams = toks.select(col("doc_id"),
+        explode(expr(
+          "transform(sequence(1, greatest(size(toks) - 1, 0)), i -> concat(toks[i-1], ' ', toks[i]))"))
+          .as("bigram"))
+      val counts = bigrams.groupBy(col("doc_id"), col("bigram"))
+        .agg(count(lit(1)).as("n"))
+      val top = counts.groupBy(col("doc_id"))
+        .agg(max(col("n")).as("top_bigram_n"), sum(col("n")).as("n_bigrams"))
+      top.join(toks, "doc_id")
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          round(size(array_distinct(col("toks"))).cast("double") /
+            size(col("toks")).cast("double"), 6).as("distinct_ratio"),
+          col("top_bigram_n"),
+          round(col("top_bigram_n").cast("double") /
+            col("n_bigrams").cast("double"), 6).as("top_bigram_frac"))
+    }),
+
+    "q53_stratified_sample" -> ((s, d) => {
+      // deterministic language-balanced sampling: a content-hash bucket
+      // (md5 -> 60-bit int -> mod 1000) gates each doc against its
+      // language's quota — reproducible at any parallelism, no RNG state,
+      // and the dominant language is downsampled 4x
+      val bucket = conv(substring(md5(col("text")), 1, 15), 16, 10)
+        .cast("long") % 1000
+      t(s, d, "documents")
+        .filter(bucket < when(col("lang") === "en", lit(250)).otherwise(lit(1000)))
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    "q54_quality_gate" -> ((s, d) => {
+      // C4/Gopher-style rule-chain filter: token-count band, minimum
+      // stopword ratio, minimum distinct-token ratio — the composed
+      // keep/drop gate a curation pipeline runs before training
+      val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+      val toks = split(trim(col("text")), "\\s+")
+      val nToks = size(toks)
+      val scored = t(s, d, "documents").select(col("doc_id"),
+        nToks.cast("long").as("n_toks"),
+        round(size(filter(toks, tk => tk.isInCollection(stop))).cast("double") /
+          nToks.cast("double"), 6).as("stop_ratio"),
+        round(size(array_distinct(toks)).cast("double") /
+          nToks.cast("double"), 6).as("distinct_ratio"))
+      scored.filter(col("n_toks") >= 20 && col("n_toks") <= 1000 &&
+        col("stop_ratio") >= 0.01 && col("distinct_ratio") >= 0.3)
+    }),
+
+    "q55_source_stats" -> ((s, d) => {
+      // per-domain (source) corpus stats — doc counts, token budget,
+      // average length; avg derived from an EXACT integer sum so the
+      // value is identical at any partitioning (no float-order drift)
+      t(s, d, "documents")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(trim(col("text")), "\\s+")).cast("long")).as("total_tokens"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          round(col("sum_chars").cast("double") / col("n_docs").cast("double"), 6)
+            .as("avg_chars"))
     }),
 
     // ---- embeddings: exact cosine near-dup pairs (brute force = the
@@ -975,6 +1051,53 @@ object SparkEntry {
         |    c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)), (a, d) -> a * 16 + d) AS INT) AS height,
         |  md5(hex(content)) AS payload_md5
         |FROM read_blob('/root/reference/resources/*/*.png')""".stripMargin,
+
+    "q52_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        |big AS (
+        |  SELECT doc_id, t.toks[i] || ' ' || t.toks[i+1] AS bigram
+        |  FROM toks t, unnest(generate_series(1, greatest(len(t.toks) - 1, 0))) AS g(i)),
+        |counts AS (
+        |  SELECT doc_id, bigram, count(*) AS n FROM big GROUP BY doc_id, bigram),
+        |top AS (
+        |  SELECT doc_id, max(n) AS top_bigram_n, CAST(sum(n) AS BIGINT) AS n_bigrams
+        |  FROM counts GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(tk.toks) AS BIGINT) AS n_toks,
+        |  round(CAST(len(list_distinct(tk.toks)) AS DOUBLE) / len(tk.toks), 6) AS distinct_ratio,
+        |  CAST(t.top_bigram_n AS BIGINT) AS top_bigram_n,
+        |  round(CAST(t.top_bigram_n AS DOUBLE) / t.n_bigrams, 6) AS top_bigram_frac
+        |FROM top t JOIN toks tk USING (doc_id)""".stripMargin,
+
+    "q53_stratified_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_transform(string_split(substring(md5(text), 1, 15), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (acc, d) -> acc * 16 + d) % 1000 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, lang FROM h
+        |WHERE bucket < CASE WHEN lang = 'en' THEN 250 ELSE 1000 END""".stripMargin,
+
+    "q54_quality_gate" ->
+      """SELECT * FROM (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
+        |    round(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      t -> t IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')), 6) AS stop_ratio,
+        |    round(CAST(len(list_distinct(string_split_regex(trim(text), '\s+'))) AS DOUBLE)
+        |      / len(string_split_regex(trim(text), '\s+')), 6) AS distinct_ratio
+        |  FROM documents)
+        |WHERE n_toks >= 20 AND n_toks <= 1000
+        |  AND stop_ratio >= 0.01 AND distinct_ratio >= 0.3""".stripMargin,
+
+    "q55_source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS total_tokens,
+        |  round(CAST(sum(CAST(length(text) AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_chars
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q39_md5_hamming" ->
       """WITH h AS (
