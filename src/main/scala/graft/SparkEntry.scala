@@ -301,9 +301,14 @@ object SparkEntry {
       // driver work, scales to any doc length
       val toks = t(s, d, "documents")
         .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
+      // guard: sequence(1, 0) is DESCENDING in Spark ([1, 0]), which would
+      // fabricate null bigrams for <=1-token docs — emit an empty array
+      // instead (DuckDB's generate_series(1, 0) is empty)
       val bigrams = toks.select(col("doc_id"),
         explode(expr(
-          "transform(sequence(1, greatest(size(toks) - 1, 0)), i -> concat(toks[i-1], ' ', toks[i]))"))
+          """CASE WHEN size(toks) >= 2
+            |  THEN transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i]))
+            |  ELSE array() END""".stripMargin))
           .as("bigram"))
       val counts = bigrams.groupBy(col("doc_id"), col("bigram"))
         .agg(count(lit(1)).as("n"))
@@ -650,7 +655,9 @@ object SparkEntry {
     // dims decoded by expression math; DuckDB oracles it via read_blob ----
     "q51_binary_scan" -> ((s, d) => {
       import graft.pipeline.Multimodal
-      Multimodal.readBinaryDir(s, Multimodal.DefaultResourcesDir)
+      // one-level glob, matching the oracle's read_blob('.../*/*.png')
+      // file set exactly (the reference layout is icons/ + textures/)
+      Multimodal.readBinaryDir(s, Multimodal.DefaultResourcesDir + "/*")
         .select(col("file_name"),
           col("media_meta.n_bytes").cast("long").as("n_bytes"),
           col("media_meta.width").as("width"),

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 import graft.{functions => gf}
 
@@ -40,12 +40,13 @@ object Ann {
       .limit(nLists)
       .select(col("vec_id"), col("embedding"))
       .collect()
-      .sortBy(_.getLong(0))
+      .sortBy(_.getAs[Number](0).longValue()) // id type agnostic (int/long)
     val rows: java.util.List[Row] = java.util.Arrays.asList(
       sampled.zipWithIndex.map { case (r, i) => Row(i + 1, r.get(1)) }: _*)
+    // cvec inherits the corpus embedding type (float[]/double[] both work)
     val schema = StructType(Seq(
       StructField("list_id", IntegerType, nullable = false),
-      StructField("cvec", ArrayType(FloatType), nullable = true)))
+      StructField("cvec", emb.schema("embedding").dataType, nullable = true)))
     spark.createDataFrame(rows, schema)
   }
 

@@ -31,15 +31,19 @@ object Catalog {
     }.toMap
   }
 
-  /** Runtime color map: the actual XML when present, else the reference's
+  /** Runtime color map: the actual XML when PRESENT, else the reference's
     * published values (so the engine still runs where the config isn't
-    * mounted). A color changed in the XML flows through to the catalog —
-    * no silent divergence. */
+    * mounted). Only absence falls back — a file that EXISTS but fails to
+    * parse or lacks a required key throws loudly; swallowing it would be
+    * exactly the silent config divergence this module exists to prevent. */
   lazy val colors: Map[String, String] =
-    try colorsFromXml(DefaultColorsXml)
-    catch { case _: Exception =>
-      Map("water_blue" -> "#ADD8E6", "cartpath_grey" -> "#D3D3D3")
-    }
+    if (new java.io.File(DefaultColorsXml).exists()) {
+      val m = colorsFromXml(DefaultColorsXml) // parse errors propagate
+      Seq("water_blue", "cartpath_grey").foreach { k =>
+        require(m.contains(k), s"$DefaultColorsXml is missing color '$k'")
+      }
+      m
+    } else Map("water_blue" -> "#ADD8E6", "cartpath_grey" -> "#D3D3D3")
 
   case class Item(itemType: String, category: String, zorder: Int,
                   color: String, lineWidth: Double)

@@ -62,10 +62,14 @@ object Checkpointed {
       .filter(p => p.getFileName.toString.startsWith("bucket-"))
       .map { p =>
         val m = Files.readString(p).trim
-        def f(k: String): Long =
-          ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(m).get.group(1).toLong
+        def fOpt(k: String): Option[Long] =
+          ("\"" + k + "\":(-?\\d+)").r.findFirstMatchIn(m).map(_.group(1).toLong)
+        def f(k: String): Long = fOpt(k).get
         BucketLineage(f("bucket").toInt, f("n_pages"), f("n_assigned"),
-          f("text_checksum"), f("invocation_wall_ms"))
+          f("text_checksum"),
+          // manifests written before the rename carry "wall_ms" — a resume
+          // over an old checkpoint dir must keep parsing them
+          fOpt("invocation_wall_ms").orElse(fOpt("wall_ms")).getOrElse(0L))
       }.sortBy(_.bucket)
 
   /**

@@ -73,10 +73,10 @@ object Multimodal {
    * operator (decodeFeatures, resize, marker icon join) takes either.
    */
   def readBinaryDir(spark: org.apache.spark.sql.SparkSession, dir: String,
-                    glob: String = "*.png"): DataFrame =
+                    glob: String = "*.png", recursive: Boolean = false): DataFrame =
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob)
-      .option("recursiveFileLookup", "true")
+      .option("recursiveFileLookup", recursive.toString)
       .load(dir)
       .select(
         element_at(split(col("path"), "/"), -1).as("file_name"),

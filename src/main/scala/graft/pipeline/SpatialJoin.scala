@@ -221,8 +221,12 @@ object SpatialJoin {
    *
    * Exact = matches brute force at every stage, verified in tests.
    */
-  def knnCourses(pages: DataFrame, bounds: DataFrame, k: Int,
+  def knnCourses(pagesIn: DataFrame, bounds: DataFrame, k: Int,
                  level: Int = 11, radius: Int = 3): DataFrame = {
+    // project the probe stream to the three columns the algorithm needs
+    // BEFORE the first window: carrying html/text through the rank
+    // exchange would shuffle the payload bytes for nothing
+    val pages = pagesIn.select(col("url"), col("lon"), col("lat"))
     val centroids = bounds
       .withColumn("env", st_envelope(col("boundary")))
       .select(col("clubId"), col("courseId"), col("holeNumber"),
@@ -267,15 +271,17 @@ object SpatialJoin {
         .withColumn("cell", cell_id(col("lon"), col("lat"), lit(level)))
         .join(broadcast(expanded), "cell"),
       radius)
-    // persisted: uncertain sets are TINY by construction (the certificate
+    // localized: uncertain sets are TINY by construction (the certificate
     // covers the dense common case), but each feeds TWO branches (its
     // stage's candidates and the next stage's anti-join) — without a
     // materialization point, every downstream branch would re-evaluate
     // the whole upstream stage, multiplying full pages-table passes at
-    // 10^12-row scale
-    val uncertain1 = pages.join(
-      cert1.select(col("url")).distinct(), Seq("url"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 10^12-row scale. LocalRelation (not persist): nothing is pinned in
+    // the session CacheManager across calls, and the rows are (url, lon,
+    // lat) only. A deployment expecting LARGE uncertain sets (pathological
+    // radius/level choices) would swap this for persist + unpersist.
+    val uncertain1 = graft.sources.Storage.localize(pages.join(
+      cert1.select(col("url")).distinct(), Seq("url"), "left_anti"))
 
     // stage 2: page-side disk expansion at 4x radius against the
     // single-cell centroid dim
@@ -287,9 +293,8 @@ object SpatialJoin {
         .withColumn("cell", explode(disk_cells(cell_id(col("lon"), col("lat"), lit(level)), lit(r2))))
         .join(broadcast(centCells), "cell"),
       r2)
-    val uncertain2 = uncertain1.join(
-      cert2.select(col("url")).distinct(), Seq("url"), "left_anti")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val uncertain2 = graft.sources.Storage.localize(uncertain1.join(
+      cert2.select(col("url")).distinct(), Seq("url"), "left_anti"))
 
     // stage 3: exact brute tail, size surfaced as an observed metric so
     // tests (and production monitors) can assert it stays tiny

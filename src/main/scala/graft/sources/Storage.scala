@@ -86,23 +86,44 @@ object Snapshots {
   }
 
   /** Commit `df` as a new snapshot; returns its id. `overwrite = false`
-    * appends to the previous snapshot's live set (Iceberg fast-append). */
-  def commit(df: DataFrame, tableDir: String, overwrite: Boolean = false): Long = {
-    val prev = snapshots(tableDir)
-    val id = prev.lastOption.map(_.id + 1).getOrElse(1L)
+    * appends to the previous snapshot's live set (Iceberg fast-append).
+    *
+    * Concurrency contract (Iceberg's optimistic model): the commit point
+    * is an ATOMIC CREATE of `v<id>.json` — `Files.createLink` fails with
+    * `FileAlreadyExistsException` when another writer won the id, unlike
+    * a rename, which would silently REPLACE the winner's manifest and
+    * orphan its data. The losing writer retries against the refreshed
+    * latest snapshot (append) or fails after `maxRetries` — a commit is
+    * never silently dropped. */
+  def commit(df: DataFrame, tableDir: String, overwrite: Boolean = false,
+             maxRetries: Int = 5): Long = {
     val dataDir = s"data/${java.util.UUID.randomUUID()}"
     df.write.mode(SaveMode.ErrorIfExists).parquet(s"$tableDir/$dataDir")
-    val live = (if (overwrite) Seq.empty else prev.lastOption.map(_.dirs).getOrElse(Seq.empty)) :+ dataDir
-    Files.createDirectories(manifestDir(tableDir))
-    val tmp = manifestDir(tableDir).resolve(s".v$id.json.tmp")
-    Files.writeString(tmp,
-      s"""{"snapshot_id":$id,"ts_ms":${System.currentTimeMillis()},""" +
-        s""""dirs":[${live.map("\"" + _ + "\"").mkString(",")}]}""")
-    // atomic rename = the snapshot's commit point (same protocol as the
-    // bucket manifest in graft.pipeline.Checkpointed)
-    Files.move(tmp, manifestDir(tableDir).resolve(s"v$id.json"),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    id
+    var attempt = 0
+    while (true) {
+      val prev = snapshots(tableDir)
+      val id = prev.lastOption.map(_.id + 1).getOrElse(1L)
+      val live = (if (overwrite) Seq.empty
+        else prev.lastOption.map(_.dirs).getOrElse(Seq.empty)) :+ dataDir
+      Files.createDirectories(manifestDir(tableDir))
+      val tmp = manifestDir(tableDir).resolve(s".v$id-${java.util.UUID.randomUUID()}.tmp")
+      Files.writeString(tmp,
+        s"""{"snapshot_id":$id,"ts_ms":${System.currentTimeMillis()},""" +
+          s""""dirs":[${live.map("\"" + _ + "\"").mkString(",")}]}""")
+      try {
+        Files.createLink(manifestDir(tableDir).resolve(s"v$id.json"), tmp)
+        Files.deleteIfExists(tmp)
+        return id
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp)
+          attempt += 1
+          if (attempt >= maxRetries)
+            throw new IllegalStateException(
+              s"snapshot commit lost $maxRetries races at $tableDir — aborting (data dir $dataDir is orphaned, not visible)")
+      }
+    }
+    -1L // unreachable
   }
 
   private def readDirs(spark: SparkSession, tableDir: String, s: Snapshot): DataFrame =

@@ -67,7 +67,7 @@ class MultimodalSpec extends AnyFunSuite {
 
   test("readBinaryDir: real PNG bytes flow into the media column with " +
     "header-decoded dimensions (S3)") {
-    val res = Multimodal.readBinaryDir(spark, Multimodal.DefaultResourcesDir)
+    val res = Multimodal.readBinaryDir(spark, Multimodal.DefaultResourcesDir, recursive = true)
     val rows = res.select($"file_name", $"media_meta.width", $"media_meta.height",
       $"media_meta.n_bytes", $"media").collect()
       .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3),

@@ -45,8 +45,12 @@ class StorageSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-snapshots").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
 
+    // millisecond gaps between commits so TIMESTAMP AS OF boundaries are
+    // unambiguous (two same-ms snapshots resolve to the later id)
     val v1 = Snapshots.commit(docs.filter($"doc_id" < 10), dir)
+    Thread.sleep(5)
     val v2 = Snapshots.commit(docs.filter($"doc_id" >= 10 && $"doc_id" < 20), dir) // append
+    Thread.sleep(5)
     val v3 = Snapshots.commit(docs.filter($"doc_id" >= 100 && $"doc_id" < 105), dir,
       overwrite = true)
     assert(Seq(v1, v2, v3) === Seq(1L, 2L, 3L))
