@@ -65,6 +65,17 @@ object PageStream {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact dedup — the stream form of q20's exact dedup: drop
+    * pages whose `text` was already seen within the watermark horizon.
+    * State-store-backed, and the watermark AGES DUPLICATE KEYS OUT of
+    * state instead of letting it grow with the stream — the property
+    * that makes continuous dedup feasible over an unbounded 10^12-row
+    * crawl (an unbounded `dropDuplicates` would hold every key forever). */
+  def dedupStream(pages: DataFrame, watermark: String = "1 hour"): DataFrame =
+    pages
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("text")
+
   /** Event-time tumbling-window counts with a watermark — the streaming
     * form of q17; rows later than the watermark are dropped, finalized
     * windows emit exactly once in append mode. */

@@ -41,6 +41,39 @@ class StorageSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS lens_b")
   }
 
+  test("static partition pruning: a lang filter prunes partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(s"$dir/by_lang")
+    val en = spark.read.parquet(s"$dir/by_lang").filter($"lang" === "en")
+    assert(en.count() === docs.filter($"lang" === "en").count())
+    val scan = en.queryExecution.executedPlan.toString
+    // the filter must land in PartitionFilters (directory-level pruning),
+    // never as a post-scan Filter over all partitions
+    assert(scan.contains("PartitionFilters") && scan.contains("(lang"),
+      s"partition filter missing from scan:\n$scan")
+  }
+
+  test("dynamic partition pruning: a selective dim join prunes fact partitions") {
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    // the dim must be a real scan (a literal Seq constant-folds into a
+    // LocalRelation and DPP never fires without a filter over a relation)
+    // and the filter must be one DPP's isLikelySelective check accepts
+    // (attr = literal; a bare boolean attribute does not qualify)
+    Seq(("en", "keep"), ("de", "keep"), ("fr", "drop"), ("es", "drop"), ("zh", "drop"))
+      .toDF("lang", "tag").write.mode("overwrite").parquet(s"$dir/dim")
+    val dim = spark.read.parquet(s"$dir/dim")
+    val joined = fact.join(dim.filter($"tag" === "keep"), Seq("lang"))
+    val expected = docs.filter($"lang".isin("en", "de")).count()
+    assert(joined.count() === expected)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"expected a dynamic partition pruning subquery in:\n$plan")
+  }
+
   test("snapshot manifest: append/overwrite commits, version + timestamp time travel") {
     val dir = Files.createTempDirectory("graft-snapshots").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

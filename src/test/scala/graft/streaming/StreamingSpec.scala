@@ -79,6 +79,25 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming exact dedup: in-horizon duplicates dropped, state watermark-bounded") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val df = in.toDF().toDF("warc_ts", "text")
+    val q = PageStream.dedupStream(df, "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2025-01-01 00:00:00")
+      def ts(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+      in.addData((ts(0), "alpha"), (ts(1), "alpha"), (ts(2), "beta"))
+      q.processAllAvailable()
+      // a duplicate arriving later but within the horizon is still dropped
+      in.addData((ts(5), "alpha"), (ts(6), "gamma"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").collect().map(_.getString(1)).sorted.toSeq
+      assert(texts == Seq("alpha", "beta", "gamma"))
+    } finally q.stop()
+  }
+
   test("stateful sessionization: gap-close and timeout-close, exactly once") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(Long, java.sql.Timestamp)]
