@@ -355,6 +355,51 @@ class GeomSpec extends AnyFunSuite with graft.PropHelper {
     assert(Math.abs(got - est) < 0.08 * Math.max(est, 0.1), s"pieces=$got grid=$est")
   }
 
+  test("self-intersection invariant: area(A ∩ A) == area(A) on random concave rings") {
+    // every vertex of A lies on A's own boundary, so GH always refuses and
+    // the triangulated fallback carries the case — this pins the fallback's
+    // exactness under maximal degeneracy (all edges shared)
+    val rnd = new scala.util.Random(41)
+    var ok = 0
+    (0 until 150).foreach { _ =>
+      val n = 6 + rnd.nextInt(14)
+      val ring = (0 until n).flatMap { i =>
+        val a = 2 * Math.PI * i / n
+        val rr = 0.5 + rnd.nextDouble() * 1.5
+        Seq(rr * Math.cos(a), 0.8 * rr * Math.sin(a))
+      }.toArray
+      if (Geom.isRingValid(ring)) {
+        val p = Geom.intersectionPieces(ring, ring)
+        assert(p != null, "A ∩ A must not be empty")
+        val got = p.map(Geom.area).sum
+        val want = Geom.area(ring)
+        assert(Math.abs(got - want) <= 1e-9 * want, s"got=$got want=$want")
+        ok += 1
+      }
+    }
+    assert(ok > 100)
+  }
+
+  test("shared-edge contact: GH refuses, convex fast path stays exact") {
+    // b = the right half of a (shares a's corners at x=2 and overlaps two
+    // full edge segments): the classic all-degenerate contact
+    val a = Array(0.0, 0, 2, 0, 2, 2, 0, 2)
+    val b = Array(1.0, 0, 2, 0, 2, 2, 1, 2)
+    assert(Geom.intersectionBoundary(a, b) == null) // vertex-on-boundary gate
+    val pieces = Geom.intersectionPieces(a, b)
+    assert(pieces != null && pieces.length == 1)
+    assert(Math.abs(pieces.map(Geom.area).sum - 2.0) < 1e-12) // == area(b), b ⊂ a
+    // concave variant of the same contact goes through the triangulated
+    // fallback and must stay exact too
+    val u = Array(0.0, 0, 6, 0, 6, 4, 4, 4, 4, 2, 2, 2, 2, 4, 0, 4)
+    val half = Array(3.0, 0, 6, 0, 6, 4, 4, 4, 4, 2, 3, 2) // right part, shares edges
+    assert(!Geom.isConvex(u) && !Geom.isConvex(half))
+    assert(Geom.intersectionBoundary(u, half) == null)
+    val p2 = Geom.intersectionPieces(u, half)
+    assert(p2 != null)
+    assert(Math.abs(p2.map(Geom.area).sum - Geom.area(half)) < 1e-9) // half ⊂ u
+  }
+
   test("GH vs triangulated partition: areas agree on random concave pairs") {
     val rnd = new scala.util.Random(29)
     var ghHits = 0
