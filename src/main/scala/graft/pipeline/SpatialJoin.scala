@@ -63,7 +63,7 @@ object SpatialJoin {
       .join(broadcast(cover), col("probe_cell") === cover("cell"))
       .join(broadcast(refineDim(bounds)), Seq("hole_id"))
       .filter(col("full") || st_contains_flat(col("bflat"), col("lon"), col("lat")))
-      .select(pages.columns.map(col) :+ col("clubId") :+ col("courseId") :+
+      .select(pages.columns.toIndexedSeq.map(col) :+ col("clubId") :+ col("courseId") :+
         col("holeNumber"): _*)
 
   private val holeKeyCols = Seq("clubId", "courseId", "holeNumber")
@@ -107,7 +107,7 @@ object SpatialJoin {
       .join(broadcast(flatCover), col("probe_cell") === flatCover("cell"))
       .join(broadcast(refineDim(bounds)), Seq("hole_id"))
       .filter(col("full") || st_contains_flat(col("bflat"), col("lon"), col("lat")))
-      .select(pages.columns.map(col) :+ col("clubId") :+ col("courseId") :+
+      .select(pages.columns.toIndexedSeq.map(col) :+ col("clubId") :+ col("courseId") :+
         col("holeNumber"): _*)
 
   /**
@@ -129,7 +129,7 @@ object SpatialJoin {
         saltedPages("salt") === saltedCover("salt"))
       .join(broadcast(refineDim(bounds)), Seq("hole_id"))
       .filter(col("full") || st_contains_flat(col("bflat"), col("lon"), col("lat")))
-      .select(pages.columns.map(col) :+ col("clubId") :+ col("courseId") :+
+      .select(pages.columns.toIndexedSeq.map(col) :+ col("clubId") :+ col("courseId") :+
         col("holeNumber"): _*)
   }
 

@@ -137,6 +137,49 @@ class PipelineSpec extends AnyFunSuite {
       .getAs[Long]("n_unknown_items") == 0L)
   }
 
+  test("kNN at polar latitudes: certificate refuses (guard), brute tail keeps it exact") {
+    graft.functions.registerAll(spark)
+    // hand-built polar course dim (~88.5N) + pages spread 88-89.5N: the
+    // poleward-pushed certificate latitude exceeds 89.9 at level 11, so
+    // the guard must certify NOTHING and route everything through the
+    // exact brute tail — which must still match in-JVM brute force
+    val b = spark.range(4).select(
+      concat(lit("club-p"), col("id")).as("clubId"),
+      concat(lit("course-p"), col("id")).as("courseId"),
+      lit(1).as("holeNumber"),
+      expr(
+        """make_polygon(array(
+          |  struct(CAST(id AS DOUBLE) * 10.0 AS x, 88.4d AS y),
+          |  struct(CAST(id AS DOUBLE) * 10.0 + 0.2 AS x, 88.4d AS y),
+          |  struct(CAST(id AS DOUBLE) * 10.0 + 0.2 AS x, 88.6d AS y),
+          |  struct(CAST(id AS DOUBLE) * 10.0 AS x, 88.6d AS y)))""".stripMargin).as("boundary"))
+    val pages = spark.range(40).select(
+      concat(lit("u"), col("id")).as("url"),
+      ((col("id") * 7.3) % 360 - 180).cast("double").as("lon"),
+      (lit(88.0) + (col("id") % 15).cast("double") * 0.1).as("lat"))
+    val knn = SpatialJoin.knnCourses(pages, b, k = 2)
+    val got = knn.collect()
+      .map(r => (r.getString(0), r.getString(3), r.getString(4), r.getInt(5), r.getInt(7))).toSet
+    // in-JVM brute force over envelope centroids
+    val cents = (0 until 4).map(i =>
+      ((s"club-p$i", s"course-p$i", 1), i * 10.0 + 0.1, 88.5))
+    val pagePts = pages.collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val expected = pagePts.flatMap { case (url, lon, lat) =>
+      cents.map { case (key, clon, clat) =>
+        (url, key, graft.geom.Geom.haversineM(lon, lat, clon, clat)) }
+        .sortBy(t => (t._3, t._2._1, t._2._2, t._2._3))
+        .take(2).zipWithIndex
+        .map { case ((u, key, _), i) => (u, key._1, key._2, key._3, i + 1) }
+    }.toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // and the polar guard really engaged: every result row came from the
+    // brute tail (40 pages x k=2 = 80 brute rows)
+    val brute = knn.queryExecution.observedMetrics.get("knn_brute")
+      .map(_.getAs[Long]("n_brute_rows")).getOrElse(0L)
+    assert(brute == 80L, s"expected all-brute at the pole, got $brute")
+  }
+
   test("kNN brute tail stays tiny (observed metric bounds the fallback)") {
     val df = SparkEntry.queries("q49_knn_courses")(spark, sfDir)
     val n = df.count()
