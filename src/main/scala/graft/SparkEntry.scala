@@ -367,6 +367,17 @@ object SparkEntry {
             .as("avg_chars"))
     }),
 
+    "q56_host_stats" -> ((s, d) => {
+      // per-host page stats over the Common-Crawl-style table: host
+      // extracted from the url (built-in parse_url — codegen'd), counts +
+      // language diversity per domain — the crawl-side analog of q55
+      pages(s, d)
+        .groupBy(parse_url(col("url"), lit("HOST")).as("host"))
+        .agg(count(lit(1)).as("n_pages"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+    }),
+
     // ---- embeddings: exact cosine near-dup pairs (brute force = the
     // correctness anchor; q31's LSH buckets are the 10^12-row scale path) ----
     "q32_embed_dup_pairs" -> ((s, d) => {
@@ -1058,6 +1069,14 @@ object SparkEntry {
         |    c -> CAST(strpos('0123456789ABCDEF', c) - 1 AS BIGINT)), (a, d) -> a * 16 + d) AS INT) AS height,
         |  md5(hex(content)) AS payload_md5
         |FROM read_blob('/root/reference/resources/*/*.png')""".stripMargin,
+
+    "q56_host_stats" -> (pagesCte +
+      """
+        |SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |  count(*) AS n_pages,
+        |  count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS sum_chars
+        |FROM pages GROUP BY 1""".stripMargin),
 
     "q52_repetition" ->
       """WITH toks AS (

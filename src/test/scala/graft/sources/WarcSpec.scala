@@ -1,0 +1,65 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** WARC ingestion: length-delimited parse, byte-exact payloads (the
+  * input_hint invariant), pages-shape adapter. */
+class WarcSpec extends AnyFunSuite {
+  lazy val spark = graft.expr.SparkTestSession.spark
+  import spark.implicits._
+
+  // payload deliberately contains CRLF CRLF — the record separator — plus
+  // non-UTF8 bytes: only a Content-Length parser survives this
+  private val trickyPayload: Array[Byte] =
+    "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html>x</html>".getBytes(UTF_8) ++
+      Array[Byte](0, -1, 13, 10, 13, 10, 42)
+
+  private val fixtures = Seq(
+    Warc.WarcRecord("warcinfo", "", "2025-03-01T00:00:00Z", "<urn:uuid:0>",
+      "application/warc-fields", "robots: classic\r\n".getBytes(UTF_8)),
+    Warc.WarcRecord("response", "https://a.example.org/p1", "2025-03-01T01:02:03Z",
+      "<urn:uuid:1>", "application/http;msgtype=response", trickyPayload),
+    Warc.WarcRecord("request", "https://a.example.org/p1", "2025-03-01T01:02:03Z",
+      "<urn:uuid:2>", "application/http;msgtype=request", "GET /p1".getBytes(UTF_8)),
+    Warc.WarcRecord("response", "https://b.example.org/p2", "2025-03-01T02:00:00Z",
+      "<urn:uuid:3>", "application/http;msgtype=response", "plain text page".getBytes(UTF_8)))
+
+  test("round-trip: write -> parseAll preserves every field and payload byte") {
+    val parsed = Warc.parseAll(Warc.writeWarc(fixtures)).toSeq
+    assert(parsed.length === fixtures.length)
+    parsed.zip(fixtures).foreach { case (p, f) =>
+      assert(p.warcType === f.warcType && p.targetUri === f.targetUri &&
+        p.warcDate === f.warcDate && p.recordId === f.recordId &&
+        p.contentType === f.contentType)
+      assert(p.payload.toSeq === f.payload.toSeq, "payload bytes must be exact")
+    }
+  }
+
+  test("truncated payload fails loudly instead of yielding fewer records") {
+    val bytes = Warc.writeWarc(fixtures)
+    intercept[IllegalArgumentException] {
+      Warc.parseAll(java.util.Arrays.copyOf(bytes, bytes.length - 30)).toSeq
+    }
+  }
+
+  test("Dataset read + pages adapter: responses only, byte-identical html") {
+    val dir = Files.createTempDirectory("graft-warc")
+    Files.write(dir.resolve("seg-00000.warc"), Warc.writeWarc(fixtures))
+    // a second segment file: parallelism unit = file, results must union
+    Files.write(dir.resolve("seg-00001.warc"), Warc.writeWarc(Seq(fixtures(3))))
+    val records = Warc.read(spark, dir.toString)
+    assert(records.count() === fixtures.length + 1)
+    val pages = Warc.toPages(records)
+    assert(pages.columns.toSeq === Seq("url", "warc_ts", "html", "text", "lang"))
+    val rows = pages.collect()
+    assert(rows.length === 3) // responses only (2 + 1 from the second segment)
+    val p1 = rows.find(_.getString(0) == "https://a.example.org/p1").get
+    assert(p1.getAs[Array[Byte]](2).toSeq === trickyPayload.toSeq,
+      "html must carry the exact payload bytes through the pipeline")
+    assert(p1.getTimestamp(1) === java.sql.Timestamp.from(
+      java.time.Instant.parse("2025-03-01T01:02:03Z")))
+  }
+}
