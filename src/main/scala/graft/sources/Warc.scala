@@ -21,8 +21,10 @@ import org.apache.spark.sql.functions._
  * line-oriented reader corrupts them. Records parse inside a typed
  * `Dataset.flatMap` over Spark's `binaryFile` source — each file parses
  * independently in its own task, mirroring how Common Crawl's ~1 GB
- * segment files are the unit of parallelism. (Per-record gzip members of
- * `.warc.gz` are out of sandbox scope; plain `.warc` parses byte-exactly.)
+ * segment files are the unit of parallelism. `.warc.gz` is supported:
+ * Common Crawl gzips each record as its own gzip MEMBER, and
+ * `GZIPInputStream` consumes concatenated members as one stream, so the
+ * decompressed bytes are the plain WARC byte sequence.
  */
 object Warc {
 
@@ -82,16 +84,26 @@ object Warc {
     out.result().iterator
   }
 
-  /** All records of every `*.warc` under `path`, as a typed Dataset (the
-    * flatMap is Dataset-typed, not an RDD — input_hint mandate). */
+  /** Decompress a (possibly multi-member) gzip byte sequence. */
+  def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** All records of every `*.warc` / `*.warc.gz` under `path`, as a typed
+    * Dataset (the flatMap is Dataset-typed, not an RDD — input_hint
+    * mandate). */
   def read(spark: SparkSession, path: String): Dataset[WarcRecord] = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc")
+      .option("pathGlobFilter", "*.warc*")
       .load(path)
-      .select(col("content"))
-      .as[Array[Byte]]
-      .flatMap(parseAll _)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        parseAll(if (p.endsWith(".gz")) gunzip(bytes) else bytes)
+      }
   }
 
   /**

@@ -48,8 +48,14 @@ class WarcSpec extends AnyFunSuite {
   test("Dataset read + pages adapter: responses only, byte-identical html") {
     val dir = Files.createTempDirectory("graft-warc")
     Files.write(dir.resolve("seg-00000.warc"), Warc.writeWarc(fixtures))
-    // a second segment file: parallelism unit = file, results must union
-    Files.write(dir.resolve("seg-00001.warc"), Warc.writeWarc(Seq(fixtures(3))))
+    // a second segment as .warc.gz with PER-RECORD gzip members (Common
+    // Crawl's convention): parallelism unit = file, results must union
+    val gz = new java.io.ByteArrayOutputStream()
+    Seq(fixtures(3)).foreach { r =>
+      val one = new java.util.zip.GZIPOutputStream(gz)
+      one.write(Warc.writeWarc(Seq(r))); one.finish()
+    }
+    Files.write(dir.resolve("seg-00001.warc.gz"), gz.toByteArray)
     val records = Warc.read(spark, dir.toString)
     assert(records.count() === fixtures.length + 1)
     val pages = Warc.toPages(records)
