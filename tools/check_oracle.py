@@ -1,75 +1,66 @@
 #!/usr/bin/env python3
-"""Local stand-in for the driver's DuckDB correctness gate:
-runs graft.Verify's parquet dumps against oracle_sql.json over the same
-testdata tables, comparing row multisets with columns sorted by name.
+"""Driver-style DuckDB oracle cross-check for a graft.Verify dump.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage:
+    python3 tools/check_oracle.py [sfDir] [verifyOutDir]
+
+Defaults: sfDir=/root/testdata/sf0.01, verifyOutDir=/tmp/verify_out.
+Mirrors the driver's compare: for each entry in oracle_sql.json, run the
+SQL in DuckDB over the sfDir parquet tables (registered by filename
+stem), load the corresponding Spark parquet output, sort columns by name
+and rows by all columns, and compare values exactly (floats via float64
+equality, NaN == NaN). Prints one line per mismatching query and a
+summary count.
 """
-import sys, os, json, glob
-import duckdb
+import duckdb, json, glob, sys
+import pandas as pd
+import numpy as np
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = repr(v)  # full precision
-            vals.append(str(v))
-        out.append("\x00".join(vals))
-    return sorted(out)
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
 
 def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
-    for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
-        name = os.path.basename(p)[:-len(".parquet")]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
-    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
-        oracles = json.load(f)
-    n_pass = n_fail = 0
-    for name in sorted(os.listdir(out_dir)):
-        qdir = os.path.join(out_dir, name)
-        if not os.path.isdir(qdir):
-            continue
-        files = glob.glob(os.path.join(qdir, "*.parquet"))
-        if not files:
-            print(f"[MISS ] {name}: no parquet output")
-            n_fail += 1
-            continue
-        got = con.execute(f"SELECT * FROM read_parquet({files!r})")
-        got_cols = [d[0] for d in got.description]
-        got_rows = got.fetchall()
-        if name not in oracles:
-            print(f"[ROWS ] {name}: {len(got_rows)} rows (no oracle)")
-            continue
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracles = json.load(open(f"{out}/oracle_sql.json"))
+    ok = 0
+    for name in sorted(oracles):
         try:
-            exp = con.execute(oracles[name])
-            exp_cols = [d[0] for d in exp.description]
-            exp_rows = exp.fetchall()
+            spark_df = pd.concat(
+                [pd.read_parquet(f) for f in glob.glob(f"{out}/{name}/*.parquet")])
+            o = con.sql(oracles[name]).df()
+            cols, ocols = sorted(spark_df.columns), sorted(o.columns)
+            if cols != ocols:
+                print(f"{name}: SCHEMA spark={cols} oracle={ocols}")
+                continue
+            s = spark_df[cols].sort_values(cols).reset_index(drop=True)
+            od = o[ocols].sort_values(ocols).reset_index(drop=True)
+            if len(s) != len(od):
+                print(f"{name}: ROWS spark={len(s)} oracle={len(od)}")
+                continue
+            bad = False
+            for c in cols:
+                a, b = s[c].values, od[c].values
+                if (np.issubdtype(s[c].dtype, np.floating)
+                        or np.issubdtype(od[c].dtype, np.floating)):
+                    eq = np.array_equal(a.astype("float64"), b.astype("float64"),
+                                        equal_nan=True)
+                else:
+                    eq = (pd.Series(a).astype(str) == pd.Series(b).astype(str)).all()
+                if not eq:
+                    print(f"{name}: VALUES column {c}; "
+                          f"spark head {a[:3]}, oracle head {b[:3]}")
+                    bad = True
+            if not bad:
+                ok += 1
         except Exception as e:
-            print(f"[ERR  ] {name}: oracle SQL failed: {e}")
-            n_fail += 1
-            continue
-        if sorted(got_cols) != sorted(exp_cols):
-            print(f"[SCHEMA] {name}: spark={sorted(got_cols)} duckdb={sorted(exp_cols)}")
-            n_fail += 1
-            continue
-        a, b = canon(got_rows, got_cols), canon(exp_rows, exp_cols)
-        if a == b:
-            print(f"[PASS ] {name}: {len(a)} rows")
-            n_pass += 1
-        else:
-            print(f"[FAIL ] {name}: spark {len(a)} rows vs duckdb {len(b)} rows")
-            onlya = [x for x in a if x not in set(b)][:3]
-            onlyb = [x for x in b if x not in set(a)][:3]
-            for x in onlya: print(f"    spark-only:  {x[:200]}")
-            for x in onlyb: print(f"    duckdb-only: {x[:200]}")
-            n_fail += 1
-    print(f"\n{n_pass} pass, {n_fail} fail")
-    sys.exit(1 if n_fail else 0)
+            print(f"{name}: ERR {str(e)[:200]}")
+    print(f"{ok}/{len(oracles)} fully green")
+
 
 if __name__ == "__main__":
     main()
