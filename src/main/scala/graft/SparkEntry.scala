@@ -232,6 +232,37 @@ object SparkEntry {
           sum(dec(col("o_totalprice"))).cast("double").as("total"))
     }),
 
+    // ---- as-of join over the events stream table ----
+    "q57_asof_join" -> ((s, d) => {
+      // AS-OF JOIN: latest event of the same user STRICTLY BEFORE each
+      // query row's timestamp. Composed scale-first: instead of an
+      // O(queries x events) theta-join + per-pair top-1, the tagged
+      // streams are unioned and `last(..., ignoreNulls)` runs over a
+      // (user, time)-ordered window — ONE shuffle on user_id and a linear
+      // scan, the shape that survives 10^12 events. (user, ts) is deduped
+      // first so the as-of target is unique and deterministic.
+      val dedup = t(s, d, "events")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("event_id")).as("event_id"), max(col("value")).as("value"))
+      val qs = dedup.filter(col("event_id") % 20 === 0)
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_q"),
+          lit(null).cast("long").as("e_id"), lit(null).cast("double").as("e_value"))
+      val es = dedup
+        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_q"),
+          col("event_id").as("e_id"), col("value").as("e_value"))
+      // at equal ts the query row sorts BEFORE its event twin (is_q desc),
+      // and the frame ends at -1 — that is exactly "strictly before"
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_q").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      qs.unionByName(es)
+        .withColumn("prev_event_id", last(col("e_id"), ignoreNulls = true).over(w))
+        .withColumn("prev_value", last(col("e_value"), ignoreNulls = true).over(w))
+        .filter(col("is_q") === 1 && col("prev_event_id").isNotNull)
+        .select(col("event_id").as("query_event_id"),
+          col("prev_event_id"), col("prev_value"))
+    }),
+
     // ---- gap sessionization over the events stream table ----
     "q19_sessionize" -> ((s, d) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -882,6 +913,17 @@ object SparkEntry {
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the oracle for the composed
+    // union+window as-of; strict inequality via q.ts > e.ts
+    "q57_asof_join" ->
+      """WITH dedup AS (
+        |  SELECT user_id, ts, max(event_id) AS event_id, max(value) AS value
+        |  FROM events GROUP BY user_id, ts),
+        |q AS (SELECT user_id, ts, event_id FROM dedup WHERE event_id % 20 = 0)
+        |SELECT q.event_id AS query_event_id, e.event_id AS prev_event_id,
+        |  e.value AS prev_value
+        |FROM q ASOF JOIN dedup e ON q.user_id = e.user_id AND q.ts > e.ts""".stripMargin,
 
     "q21_token_stats" ->
       """SELECT doc_id,
