@@ -244,23 +244,27 @@ object SparkEntry {
       val dedup = t(s, d, "events")
         .groupBy(col("user_id"), col("ts"))
         .agg(max(col("event_id")).as("event_id"), max(col("value")).as("value"))
+      // the matched event travels as ONE nullable struct: taking last()
+      // of id and value SEPARATELY would let a genuinely-NULL value fall
+      // through to an older event's value (ignoreNulls skips it) and
+      // pair prev_event_id with the wrong prev_value
       val qs = dedup.filter(col("event_id") % 20 === 0)
         .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_q"),
-          lit(null).cast("long").as("e_id"), lit(null).cast("double").as("e_value"))
+          lit(null).cast("struct<e_id:bigint,e_value:double>").as("ev"))
       val es = dedup
         .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_q"),
-          col("event_id").as("e_id"), col("value").as("e_value"))
+          struct(col("event_id").as("e_id"), col("value").as("e_value")).as("ev"))
       // at equal ts the query row sorts BEFORE its event twin (is_q desc),
       // and the frame ends at -1 — that is exactly "strictly before"
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("is_q").desc, col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       qs.unionByName(es)
-        .withColumn("prev_event_id", last(col("e_id"), ignoreNulls = true).over(w))
-        .withColumn("prev_value", last(col("e_value"), ignoreNulls = true).over(w))
-        .filter(col("is_q") === 1 && col("prev_event_id").isNotNull)
+        .withColumn("prev", last(col("ev"), ignoreNulls = true).over(w))
+        .filter(col("is_q") === 1 && col("prev").isNotNull)
         .select(col("event_id").as("query_event_id"),
-          col("prev_event_id"), col("prev_value"))
+          col("prev.e_id").as("prev_event_id"),
+          col("prev.e_value").as("prev_value"))
     }),
 
     // ---- gap sessionization over the events stream table ----
@@ -399,11 +403,13 @@ object SparkEntry {
     }),
 
     "q56_host_stats" -> ((s, d) => {
-      // per-host page stats over the Common-Crawl-style table: host
-      // extracted from the url (built-in parse_url — codegen'd), counts +
-      // language diversity per domain — the crawl-side analog of q55
+      // per-host page stats over the Common-Crawl-style table: counts +
+      // language diversity per domain — the crawl-side analog of q55.
+      // Host extraction uses the SAME regex as the DuckDB oracle (on
+      // authority-with-userinfo/port or exotic schemes, parse_url and a
+      // naive regex disagree — the two sides must share one definition)
       pages(s, d)
-        .groupBy(parse_url(col("url"), lit("HOST")).as("host"))
+        .groupBy(regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("host"))
         .agg(count(lit(1)).as("n_pages"),
           countDistinct(col("lang")).as("n_langs"),
           sum(length(col("text")).cast("long")).as("sum_chars"))

@@ -36,64 +36,92 @@ object Warc {
       contentType: String,
       payload: Array[Byte])
 
-  /** Parse one file's bytes into records. Throws (with the byte offset)
-    * on malformed input — a truncated crawl segment should fail the task
-    * loudly, not yield silently fewer pages. */
-  def parseAll(bytes: Array[Byte]): Iterator[WarcRecord] = {
-    val out = Vector.newBuilder[WarcRecord]
-    var pos = 0
-    def skipCrlf(): Unit =
-      while (pos + 1 < bytes.length && bytes(pos) == '\r' && bytes(pos + 1) == '\n')
-        pos += 2
-    def findHeaderEnd(from: Int): Int = {
-      var i = from
-      while (i + 3 < bytes.length) {
-        if (bytes(i) == '\r' && bytes(i + 1) == '\n' &&
-            bytes(i + 2) == '\r' && bytes(i + 3) == '\n') return i
-        i += 1
+  /**
+   * STREAMING record parser: records materialize one at a time from the
+   * input stream (a segment NEVER exists as one decompressed array — a
+   * real ~1 GB `.warc.gz` inflates past the 2 GB JVM array limit, and
+   * even below it, whole-segment buffering triples peak memory). Throws
+   * (with the byte offset) on malformed input — a truncated crawl
+   * segment should fail the task loudly, not yield silently fewer pages.
+   */
+  def parseStream(in: java.io.InputStream): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var offset = 0L
+      private var nextByte: Int = read() // 1-byte lookahead
+      private def read(): Int = { val b = in.read(); if (b >= 0) offset += 1; b }
+      private def advance(): Int = { val b = nextByte; nextByte = read(); b }
+      private def skipCrlf(): Unit =
+        while (nextByte == '\r') { advance(); require(advance() == '\n',
+          s"WARC: lone CR at offset $offset") }
+      skipCrlf()
+      override def hasNext: Boolean = nextByte >= 0
+      override def next(): WarcRecord = {
+        val start = offset
+        // header block: bytes until CRLF CRLF
+        val hb = new java.io.ByteArrayOutputStream(256)
+        var run = 0 // consecutive \r\n\r\n progress
+        while (run < 4) {
+          val b = advance()
+          require(b >= 0, s"WARC: unterminated header block at offset $start")
+          run = (run, b) match {
+            case (0, '\r') => 1
+            case (1, '\n') => 2
+            case (2, '\r') => 3
+            case (3, '\n') => 4
+            case (_, '\r') => 1
+            case _ => 0
+          }
+          hb.write(b)
+        }
+        val lines = new String(hb.toByteArray, UTF_8).stripSuffix("\r\n\r\n").split("\r\n")
+        require(lines.nonEmpty && lines(0).startsWith("WARC/"),
+          s"WARC: expected version line at offset $start, got '${lines.headOption.getOrElse("")}'")
+        val headers = lines.tail.map { l =>
+          val i = l.indexOf(':')
+          require(i > 0, s"WARC: malformed header '$l' at offset $start")
+          l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim
+        }.toMap
+        val clen = headers.getOrElse("content-length",
+          throw new IllegalArgumentException(
+            s"WARC: missing Content-Length at offset $start")).toLong
+        require(clen >= 0 && clen <= Int.MaxValue - 8,
+          s"WARC: invalid Content-Length $clen at offset $start")
+        // bulk payload read (first byte comes from the lookahead)
+        val payload = new Array[Byte](clen.toInt)
+        if (clen > 0) {
+          require(nextByte >= 0,
+            s"WARC: truncated payload at offset $offset (need $clen bytes)")
+          payload(0) = nextByte.toByte
+          var got = 1
+          while (got < clen) {
+            val n = in.read(payload, got, clen.toInt - got)
+            require(n > 0,
+              s"WARC: truncated payload at offset ${offset + got} (need $clen bytes)")
+            got += n
+          }
+          offset += clen - 1
+          nextByte = read()
+        }
+        skipCrlf() // the record's closing CRLF CRLF (and any padding)
+        WarcRecord(
+          headers.getOrElse("warc-type", ""),
+          headers.getOrElse("warc-target-uri", ""),
+          headers.getOrElse("warc-date", ""),
+          headers.getOrElse("warc-record-id", ""),
+          headers.getOrElse("content-type", ""),
+          payload)
       }
-      -1
     }
-    skipCrlf()
-    while (pos < bytes.length) {
-      val headerEnd = findHeaderEnd(pos)
-      require(headerEnd >= 0, s"WARC: unterminated header block at offset $pos")
-      val lines = new String(bytes, pos, headerEnd - pos, UTF_8).split("\r\n")
-      require(lines.nonEmpty && lines(0).startsWith("WARC/"),
-        s"WARC: expected version line at offset $pos, got '${lines.headOption.getOrElse("")}'")
-      val headers = lines.tail.map { l =>
-        val i = l.indexOf(':')
-        require(i > 0, s"WARC: malformed header '$l' at offset $pos")
-        l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim
-      }.toMap
-      val clen = headers.getOrElse("content-length",
-        throw new IllegalArgumentException(s"WARC: missing Content-Length at offset $pos")).toInt
-      val payloadStart = headerEnd + 4
-      require(payloadStart + clen <= bytes.length,
-        s"WARC: truncated payload at offset $payloadStart (need $clen bytes)")
-      out += WarcRecord(
-        headers.getOrElse("warc-type", ""),
-        headers.getOrElse("warc-target-uri", ""),
-        headers.getOrElse("warc-date", ""),
-        headers.getOrElse("warc-record-id", ""),
-        headers.getOrElse("content-type", ""),
-        java.util.Arrays.copyOfRange(bytes, payloadStart, payloadStart + clen))
-      pos = payloadStart + clen
-      skipCrlf() // the record's closing CRLF CRLF (and any padding)
-    }
-    out.result().iterator
-  }
 
-  /** Decompress a (possibly multi-member) gzip byte sequence. */
-  def gunzip(bytes: Array[Byte]): Array[Byte] = {
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(bytes))
-    try in.readAllBytes() finally in.close()
-  }
+  /** Convenience wrapper over [[parseStream]] for in-memory fixtures. */
+  def parseAll(bytes: Array[Byte]): Iterator[WarcRecord] =
+    parseStream(new java.io.ByteArrayInputStream(bytes))
 
   /** All records of every `*.warc` / `*.warc.gz` under `path`, as a typed
     * Dataset (the flatMap is Dataset-typed, not an RDD — input_hint
-    * mandate). */
+    * mandate). Gzip decompression is STREAMED through the record parser:
+    * the decompressed segment never exists as one array (a ~1 GB crawl
+    * segment inflates past the 2 GB JVM array limit). */
   def read(spark: SparkSession, path: String): Dataset[WarcRecord] = {
     import spark.implicits._
     spark.read.format("binaryFile")
@@ -102,7 +130,12 @@ object Warc {
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
       .flatMap { case (p, bytes) =>
-        parseAll(if (p.endsWith(".gz")) gunzip(bytes) else bytes)
+        val raw = new java.io.ByteArrayInputStream(bytes)
+        parseStream(
+          if (p.endsWith(".gz"))
+            new java.io.BufferedInputStream(
+              new java.util.zip.GZIPInputStream(raw), 1 << 16)
+          else raw)
       }
   }
 

@@ -49,19 +49,26 @@ class WarcSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-warc")
     Files.write(dir.resolve("seg-00000.warc"), Warc.writeWarc(fixtures))
     // a second segment as .warc.gz with PER-RECORD gzip members (Common
-    // Crawl's convention): parallelism unit = file, results must union
+    // Crawl's convention): TWO members, so the multi-member concatenation
+    // behavior the reader depends on is actually exercised — a
+    // decompressor stopping at the first member would drop a record
     val gz = new java.io.ByteArrayOutputStream()
-    Seq(fixtures(3)).foreach { r =>
+    Seq(fixtures(3),
+      Warc.WarcRecord("response", "https://c.example.org/p3", "2025-03-01T03:00:00Z",
+        "<urn:uuid:4>", "application/http;msgtype=response",
+        "third page".getBytes(UTF_8))).foreach { r =>
       val one = new java.util.zip.GZIPOutputStream(gz)
       one.write(Warc.writeWarc(Seq(r))); one.finish()
     }
     Files.write(dir.resolve("seg-00001.warc.gz"), gz.toByteArray)
     val records = Warc.read(spark, dir.toString)
-    assert(records.count() === fixtures.length + 1)
+    assert(records.count() === fixtures.length + 2)
     val pages = Warc.toPages(records)
     assert(pages.columns.toSeq === Seq("url", "warc_ts", "html", "text", "lang"))
     val rows = pages.collect()
-    assert(rows.length === 3) // responses only (2 + 1 from the second segment)
+    assert(rows.length === 4) // responses only (2 + 2 from the gz segment)
+    assert(rows.exists(_.getString(0) == "https://c.example.org/p3"),
+      "second gzip member's record must survive (multi-member stream)")
     val p1 = rows.find(_.getString(0) == "https://a.example.org/p1").get
     assert(p1.getAs[Array[Byte]](2).toSeq === trickyPayload.toSeq,
       "html must carry the exact payload bytes through the pipeline")

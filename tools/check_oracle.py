@@ -12,35 +12,45 @@ and rows by all columns, and compare values exactly (floats via float64
 equality, NaN == NaN). Prints one line per mismatching query and a
 summary count.
 """
-import duckdb, json, glob, sys
+import duckdb, json, glob, os, sys
 import pandas as pd
 import numpy as np
-
-TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]
 
 
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
-    for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    # register every parquet in sfDir by filename stem (table-set agnostic)
+    for p in glob.glob(f"{sf}/*.parquet"):
+        stem = os.path.basename(p)[: -len(".parquet")]
+        con.sql(f"CREATE VIEW {stem} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out}/oracle_sql.json"))
-    ok = 0
+    # dumps without an oracle entry: list them (weaker rows-only checks)
+    dumped = {d for d in os.listdir(out)
+              if os.path.isdir(os.path.join(out, d))}
+    for d in sorted(dumped - set(oracles)):
+        print(f"{d}: NO_ORACLE (rows-only)")
+    ok = n_fail = 0
     for name in sorted(oracles):
         try:
-            spark_df = pd.concat(
-                [pd.read_parquet(f) for f in glob.glob(f"{out}/{name}/*.parquet")])
+            files = glob.glob(f"{out}/{name}/*.parquet")
+            if not files:
+                print(f"{name}: MISS (no Spark dump)")
+                n_fail += 1
+                continue
+            spark_df = pd.concat([pd.read_parquet(f) for f in files])
             o = con.sql(oracles[name]).df()
             cols, ocols = sorted(spark_df.columns), sorted(o.columns)
             if cols != ocols:
                 print(f"{name}: SCHEMA spark={cols} oracle={ocols}")
+                n_fail += 1
                 continue
             s = spark_df[cols].sort_values(cols).reset_index(drop=True)
             od = o[ocols].sort_values(ocols).reset_index(drop=True)
             if len(s) != len(od):
                 print(f"{name}: ROWS spark={len(s)} oracle={len(od)}")
+                n_fail += 1
                 continue
             bad = False
             for c in cols:
@@ -57,9 +67,13 @@ def main():
                     bad = True
             if not bad:
                 ok += 1
+            else:
+                n_fail += 1
         except Exception as e:
             print(f"{name}: ERR {str(e)[:200]}")
+            n_fail += 1
     print(f"{ok}/{len(oracles)} fully green")
+    sys.exit(1 if n_fail else 0)
 
 
 if __name__ == "__main__":
