@@ -793,6 +793,69 @@ object SparkEntry {
   // =========================================================================
   private def pagesCte: String = s"WITH pages AS (${Pages.sqlView(Amp)})"
 
+  /** The boundary dim recomputed in PURE JVM (no Spark) — the same kernel
+    * calls, in the same order, as `CourseEngine.boundaries` (gaussian
+    * smooth -> close -> polygonize guards, first HoleBoundary per hole) —
+    * so the flagship-family oracles get the polygons as SQL literals and
+    * DuckDB re-derives the containment INDEPENDENTLY of the cover index.
+    * Bit-equality with the engine's boundary column is pinned in
+    * PipelineSpec. */
+  private[graft] lazy val oracleBounds: Seq[(String, String, Int, Array[Double])] =
+    Courses.courses(NCourses).flatMap { c =>
+      c.holes.zipWithIndex.flatMap { case (h, pos) =>
+        h.gpsItems.find(_.itemType == "HoleBoundary").flatMap { item =>
+          val flat = item.shape.iterator
+            .flatMap(p => Iterator(p.longitude, p.latitude)).toArray
+          val closed = graft.geom.Geom.closeRing(
+            graft.geom.Geom.gaussianSmooth(flat, 1.0))
+          if (graft.geom.Geom.nPts(closed) < 3 ||
+              graft.geom.Geom.nPts(closed) - 1 < 3) None
+          else Some((c.clubId, c.courseId, pos + 1, closed))
+        }
+      }
+    }
+
+  /** `(clubId, courseId, holeNumber, minx, miny, maxx, maxy, ring)` VALUES
+    * literals; Double.toString round-trips exactly through DuckDB's
+    * literal parser, so the SQL-side ray cast runs on bit-identical
+    * coordinates. */
+  private lazy val oracleBoundsValues: String =
+    oracleBounds.map { case (cl, co, h, flat) =>
+      val e = graft.geom.Geom.envelope(flat)
+      val pts = (0 until graft.geom.Geom.nPts(flat))
+        .map(i => s"[${flat(2 * i)},${flat(2 * i + 1)}]").mkString("[", ",", "]")
+      s"('$cl','$co',$h,${e(0)},${e(1)},${e(2)},${e(3)},$pts)"
+    }.mkString(",")
+
+  /** Shared CTE tail: strict shapely-`contains` ray cast in DuckDB SQL —
+    * the EXACT expression shapes of `GeoOps.stContainsFlat` (fused
+    * on-edge exclusion + even-odd crossing over (prev, cur) edge pairs of
+    * the closed ring, wraparound edge included), evaluated on the literal
+    * boundary coordinates. `pr[1]` = prev vertex, `pr[2]` = cur vertex;
+    * the inclusive envelope pre-join only ADDS candidates (a strictly
+    * interior point is never outside the envelope). */
+  private def pipHitsCtes: String =
+    s"""bounds AS (
+       |  SELECT * FROM (VALUES $oracleBoundsValues)
+       |    AS b(clubId, courseId, holeNumber, minx, miny, maxx, maxy, ring)
+       |),
+       |cand AS (
+       |  SELECT p.*, b.clubId, b.courseId, b.holeNumber,
+       |    list_zip(list_prepend(b.ring[len(b.ring)], b.ring[1:len(b.ring)-1]), b.ring) AS prs
+       |  FROM pages p JOIN bounds b
+       |    ON p.lon >= b.minx AND p.lon <= b.maxx AND p.lat >= b.miny AND p.lat <= b.maxy
+       |),
+       |hits AS (
+       |  SELECT * FROM cand
+       |  WHERE len(list_filter(prs, pr ->
+       |      (pr[2][1] - pr[1][1]) * (lat - pr[1][2]) - (pr[2][2] - pr[1][2]) * (lon - pr[1][1]) = 0
+       |      AND lon >= least(pr[1][1], pr[2][1]) AND lon <= greatest(pr[1][1], pr[2][1])
+       |      AND lat >= least(pr[1][2], pr[2][2]) AND lat <= greatest(pr[1][2], pr[2][2]))) = 0
+       |    AND len(list_filter(prs, pr ->
+       |      ((pr[2][2] > lat) != (pr[1][2] > lat))
+       |      AND lon < (pr[1][1] - pr[2][1]) * (lat - pr[2][2]) / (pr[1][2] - pr[2][2]) + pr[2][1])) % 2 = 1
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1104,6 +1167,19 @@ object SparkEntry {
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
         |  WHERE a.doc_id < 100 AND len(a.grams) + len(b.grams) > 0)
         |WHERE jaccard >= 0.4""".stripMargin,
+
+    // the flagship family, independently re-derived: DuckDB ray-casts the
+    // literal boundary polygons with the engine's exact strict semantics,
+    // with NO cover index involved — a cover bug (missing cell, wrong
+    // full flag, broken parent math) shows up here as a row/hash mismatch
+    "q40_course_assign" -> (pagesCte + ",\n" + pipHitsCtes + "\n" +
+      "SELECT url, text, clubId, courseId, holeNumber FROM hits"),
+
+    "q41_pages_in_any" -> (pagesCte + ",\n" + pipHitsCtes + "\n" +
+      "SELECT url, lon, lat FROM pages WHERE url IN (SELECT url FROM hits)"),
+
+    "q42_pages_outside_all" -> (pagesCte + ",\n" + pipHitsCtes + "\n" +
+      "SELECT lang, count(*) AS n FROM pages WHERE url NOT IN (SELECT url FROM hits) GROUP BY lang"),
 
     // read_blob = DuckDB's binaryFile; PNG IHDR width/height parsed from
     // the hex string (bytes 17-20 / 21-24 big-endian); payload pinned by

@@ -116,6 +116,20 @@ class PipelineSpec extends AnyFunSuite {
         s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
 
+  test("oracle bounds (pure-JVM) are bit-identical to the engine's boundary dim") {
+    val engine = bounds.collect().map { r =>
+      (r.getString(0), r.getString(1), r.getInt(2)) -> polyAt(r, 3)(0).toSeq
+    }.toMap
+    val oracle = SparkEntry.oracleBounds
+      .map { case (cl, co, h, flat) => (cl, co, h) -> flat.toSeq }.toMap
+    assert(oracle.keySet == engine.keySet,
+      s"hole sets differ: onlyOracle=${(oracle.keySet -- engine.keySet).take(3)} " +
+        s"onlyEngine=${(engine.keySet -- oracle.keySet).take(3)}")
+    oracle.foreach { case (k, flat) =>
+      assert(flat == engine(k), s"boundary coords differ for $k")
+    }
+  }
+
   test("unknown itemType: warn metric counts it, output drops it (P5)") {
     val items = Courses.itemsDf(spark, 3)
     val planted = items.unionByName(
