@@ -815,16 +815,40 @@ object SparkEntry {
       }
     }
 
+  /** Double -> DuckDB DOUBLE literal: a bare decimal literal is typed
+    * DECIMAL and scale-unification across VALUES rows rounds it (observed
+    * 1-ULP drift); an exponent suffix forces DOUBLE, and Double.toString's
+    * shortest-roundtrip digits then parse back to the identical bits. */
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
+
   /** `(clubId, courseId, holeNumber, minx, miny, maxx, maxy, ring)` VALUES
-    * literals; Double.toString round-trips exactly through DuckDB's
-    * literal parser, so the SQL-side ray cast runs on bit-identical
-    * coordinates. */
+    * literals — every coordinate a DOUBLE literal (see [[dlit]]), so the
+    * SQL-side ray cast runs on bit-identical coordinates. */
   private lazy val oracleBoundsValues: String =
     oracleBounds.map { case (cl, co, h, flat) =>
       val e = graft.geom.Geom.envelope(flat)
       val pts = (0 until graft.geom.Geom.nPts(flat))
-        .map(i => s"[${flat(2 * i)},${flat(2 * i + 1)}]").mkString("[", ",", "]")
-      s"('$cl','$co',$h,${e(0)},${e(1)},${e(2)},${e(3)},$pts)"
+        .map(i => s"[${dlit(flat(2 * i))},${dlit(flat(2 * i + 1))}]").mkString("[", ",", "]")
+      s"('$cl','$co',$h,${dlit(e(0))},${dlit(e(1))},${dlit(e(2))},${dlit(e(3))},$pts)"
+    }.mkString(",")
+
+  /** Marker positions recomputed in pure JVM (single-point marker-type
+    * gpsItems), as `(clubId, courseId, holeNumber, itemType, x, y)`
+    * VALUES literals — the DuckDB side re-derives the strict containment
+    * decision itself. */
+  private lazy val oracleMarkerValues: String =
+    Courses.courses(NCourses).flatMap { c =>
+      c.holes.zipWithIndex.flatMap { case (h, pos) =>
+        h.gpsItems.collect {
+          case item if Courses.markerTypes.contains(item.itemType) &&
+            item.shape.length == 1 =>
+            s"('${c.clubId}','${c.courseId}',${pos + 1},'${item.itemType}'," +
+              s"${dlit(item.shape.head.longitude)},${dlit(item.shape.head.latitude)})"
+        }
+      }
     }.mkString(",")
 
   /** Shared CTE tail: strict shapely-`contains` ray cast in DuckDB SQL —
@@ -1180,6 +1204,52 @@ object SparkEntry {
 
     "q42_pages_outside_all" -> (pagesCte + ",\n" + pipHitsCtes + "\n" +
       "SELECT lang, count(*) AS n FROM pages WHERE url NOT IN (SELECT url FROM hits) GROUP BY lang"),
+
+    // markers: same independent ray cast, probing the planted marker
+    // points instead of pages (the generator plants one inside + one far
+    // outside per hole; the strict filter must keep at most the inside one)
+    "q48_markers" ->
+      s"""WITH bounds AS (
+         |  SELECT * FROM (VALUES $oracleBoundsValues)
+         |    AS b(clubId, courseId, holeNumber, minx, miny, maxx, maxy, ring)
+         |),
+         |markers AS (
+         |  SELECT * FROM (VALUES $oracleMarkerValues)
+         |    AS m(clubId, courseId, holeNumber, itemType, x, y)
+         |),
+         |cand AS (
+         |  SELECT m.*, list_zip(list_prepend(b.ring[len(b.ring)], b.ring[1:len(b.ring)-1]), b.ring) AS prs
+         |  FROM markers m JOIN bounds b USING (clubId, courseId, holeNumber)
+         |)
+         |SELECT clubId, courseId, holeNumber, itemType, CAST(20 AS INT) AS zorder,
+         |  x, y, ${dlit(3.0 / 0.2 / 200.0)} AS marker_zoom
+         |FROM cand
+         |WHERE len(list_filter(prs, pr ->
+         |    (pr[2][1] - pr[1][1]) * (y - pr[1][2]) - (pr[2][2] - pr[1][2]) * (x - pr[1][1]) = 0
+         |    AND x >= least(pr[1][1], pr[2][1]) AND x <= greatest(pr[1][1], pr[2][1])
+         |    AND y >= least(pr[1][2], pr[2][2]) AND y <= greatest(pr[1][2], pr[2][2]))) = 0
+         |  AND len(list_filter(prs, pr ->
+         |    ((pr[2][2] > y) != (pr[1][2] > y))
+         |    AND x < (pr[1][1] - pr[2][1]) * (y - pr[2][2]) / (pr[1][2] - pr[2][2]) + pr[2][1])) % 2 = 1""".stripMargin,
+
+    // priority reorder over the literal hole keys: DuckDB recomputes the
+    // CASE priorities, the total order, and the limit
+    "q50_priority_order" ->
+      s"""WITH bounds AS (
+         |  SELECT * FROM (VALUES $oracleBoundsValues)
+         |    AS b(clubId, courseId, holeNumber, minx, miny, maxx, maxy, ring)
+         |)
+         |SELECT clubId, courseId, holeNumber, prio FROM (
+         |  SELECT clubId, courseId, holeNumber,
+         |    CAST(CASE
+         |      WHEN clubId = 'club-0001' AND courseId = 'course-0001' AND holeNumber = 1 THEN 0
+         |      WHEN clubId = 'club-0001' AND courseId = 'course-0001' AND holeNumber = 2 THEN 1
+         |      WHEN clubId = 'club-0003' AND courseId = 'course-0003' AND holeNumber = 5 THEN 2
+         |      WHEN clubId = 'club-0002' AND courseId = 'course-0002' AND holeNumber = 9 THEN 3
+         |      WHEN clubId = 'club-0000' AND courseId = 'course-0000' AND holeNumber = 3 THEN 4
+         |      ELSE 2147483647 END AS INT) AS prio
+         |  FROM bounds)
+         |ORDER BY prio, clubId, courseId, holeNumber LIMIT 50""".stripMargin,
 
     // read_blob = DuckDB's binaryFile; PNG IHDR width/height parsed from
     // the hex string (bytes 17-20 / 21-24 big-endian); payload pinned by
