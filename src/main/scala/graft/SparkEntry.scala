@@ -774,7 +774,12 @@ object SparkEntry {
     }),
 
     "q49_knn_courses" -> ((s, d) => {
+      // output is (page, neighbor, rank) — the haversine VALUE is excluded
+      // (libm sin/asin ULP parity across engines isn't guaranteed; the
+      // ORDERING agrees, which is what rank checks — same policy as q36)
       SpatialJoin.knnCourses(pages(s, d).limit(2000), boundsDf(s), k = 3)
+        .select(col("url"), col("lon"), col("lat"),
+          col("clubId"), col("courseId"), col("holeNumber"), col("rank"))
     }),
 
     "q50_priority_order" -> ((s, d) => {
@@ -850,6 +855,63 @@ object SparkEntry {
         }
       }
     }.mkString(",")
+
+  /** Shared CTEs for the raster-family oracles: enumerate each boundary's
+    * covering z-17 tiles (same tile formulas the q14 oracle pinned), build
+    * each tile's 8x8 sample grid ONCE (DuckDB lacks sinh; `(e^x-e^-x)/2`
+    * substitutes — it feeds covers DECISIONS, not output values, and the
+    * full 5443-mask set was verified bit-identical), ray-cast every sample
+    * with the engine's exact st_covers semantics, and pack the 64-bit
+    * mask via HUGEINT (DuckDB's BIGINT `<<` overflows at bit 63). */
+  private def tileMaskedCtes: String = {
+    val n = s"${1L << 17}.0"
+    val inner = s"pi() * (1.0 - 2.0 * (CAST(ty AS DOUBLE) + (CAST(i AS DOUBLE) + 0.5) / 8.0) / $n)"
+    val latS = s"degrees(atan((exp($inner) - exp(-($inner))) / 2.0))"
+    val lonS = s"(CAST(tx AS DOUBLE) + (CAST(j AS DOUBLE) + 0.5) / 8.0) / $n * 360.0 - 180.0"
+    s"""bounds AS (
+       |  SELECT * FROM (VALUES $oracleBoundsValues)
+       |    AS b(clubId, courseId, holeNumber, minx, miny, maxx, maxy, ring)
+       |),
+       |tiles AS (
+       |  SELECT *,
+       |    CAST(floor((minx + 180.0) / 360.0 * $n) AS BIGINT) AS tx0,
+       |    CAST(floor((maxx + 180.0) / 360.0 * $n) AS BIGINT) AS tx1,
+       |    CAST(floor((1.0 - ln(tan(radians(maxy)) + 1.0 / cos(radians(maxy))) / pi()) / 2.0 * $n) AS BIGINT) AS ty0,
+       |    CAST(floor((1.0 - ln(tan(radians(miny)) + 1.0 / cos(radians(miny))) / pi()) / 2.0 * $n) AS BIGINT) AS ty1
+       |  FROM bounds),
+       |grid AS (
+       |  SELECT t.clubId, t.courseId, t.holeNumber, gx.tx, gy.ty,
+       |    list_zip(list_prepend(t.ring[len(t.ring)], t.ring[1:len(t.ring)-1]), t.ring) AS prs,
+       |    flatten(list_transform(generate_series(0, 7), i ->
+       |      list_transform(generate_series(0, 7), j ->
+       |        [$lonS, $latS, CAST(i * 8 + j AS DOUBLE)]))) AS samples
+       |  FROM tiles t, unnest(generate_series(tx0, tx1)) gx(tx), unnest(generate_series(ty0, ty1)) gy(ty)),
+       |bits AS (
+       |  SELECT clubId, courseId, holeNumber, tx, ty,
+       |    list_transform(samples, s ->
+       |      CASE WHEN (
+       |        len(list_filter(prs, pr ->
+       |          (pr[2][1] - pr[1][1]) * (s[2] - pr[1][2]) - (pr[2][2] - pr[1][2]) * (s[1] - pr[1][1]) = 0
+       |          AND s[1] >= least(pr[1][1], pr[2][1]) AND s[1] <= greatest(pr[1][1], pr[2][1])
+       |          AND s[2] >= least(pr[1][2], pr[2][2]) AND s[2] <= greatest(pr[1][2], pr[2][2]))) > 0
+       |        OR
+       |        len(list_filter(prs, pr ->
+       |          ((pr[2][2] > s[2]) != (pr[1][2] > s[2]))
+       |          AND s[1] < (pr[1][1] - pr[2][1]) * (s[2] - pr[2][2]) / (pr[1][2] - pr[2][2]) + pr[2][1])) % 2 = 1
+       |      ) THEN (CAST(1 AS HUGEINT) << CAST(s[3] AS INT)) ELSE CAST(0 AS HUGEINT) END) AS bitvals
+       |  FROM grid),
+       |masked AS (
+       |  SELECT clubId, courseId, holeNumber, CAST(17 AS INT) AS z, tx AS x, ty AS y,
+       |    list_reduce(list_transform(generate_series(0, 16), k ->
+       |      CAST(((tx >> (16 - k)) & 1) + 2 * ((ty >> (16 - k)) & 1) AS VARCHAR)),
+       |      (a, b) -> a || b) AS qk,
+       |    CAST(CASE WHEN mh >= CAST('9223372036854775808' AS HUGEINT)
+       |      THEN mh - CAST('18446744073709551616' AS HUGEINT) ELSE mh END AS BIGINT) AS mask,
+       |    CAST(n_set AS DOUBLE) / 64.0 AS coverage
+       |  FROM (SELECT *, list_reduce(list_prepend(CAST(0 AS HUGEINT), bitvals), (a, b) -> a | b) AS mh,
+       |          len(list_filter(bitvals, b -> b != 0)) AS n_set FROM bits)
+       |  WHERE mh != 0)""".stripMargin
+  }
 
   /** Shared CTE tail: strict shapely-`contains` ray cast in DuckDB SQL —
     * the EXACT expression shapes of `GeoOps.stContainsFlat` (fused
@@ -1204,6 +1266,44 @@ object SparkEntry {
 
     "q42_pages_outside_all" -> (pagesCte + ",\n" + pipHitsCtes + "\n" +
       "SELECT lang, count(*) AS n FROM pages WHERE url NOT IN (SELECT url FROM hits) GROUP BY lang"),
+
+    // raster family: DuckDB re-derives every tile's 64-bit coverage mask
+    // and the inverted tile index from the literal polygons — the engine's
+    // whole rasterize pipeline cross-checked by an independent ray caster
+    "q46_tile_masks" -> ("WITH " + tileMaskedCtes + "\n" +
+      "SELECT clubId, courseId, holeNumber, z, x, y, qk, mask, coverage FROM masked"),
+
+    "q47_tile_reverse" -> ("WITH " + tileMaskedCtes +
+      """
+        |SELECT z, x, y, qk,
+        |  array_to_string(list_sort(list(clubId || '/' || courseId || '/' || holeNumber)), ',') AS features,
+        |  max(coverage) AS max_coverage, count(*) AS n_features
+        |FROM masked GROUP BY z, x, y, qk""".stripMargin),
+
+    // kNN re-derived brute-force in DuckDB: envelope-center centroids from
+    // the literal polygons, SQL haversine ordering, per-page top-3 —
+    // verified rank-exact (no near-ties at this scale; the certificate/
+    // ring-expansion machinery on the engine side must agree with plain
+    // brute force, which is the operator's exactness contract)
+    "q49_knn_courses" -> (pagesCte + s""",
+      |bounds AS (
+      |  SELECT * FROM (VALUES $oracleBoundsValues)
+      |    AS b(clubId, courseId, holeNumber, minx, miny, maxx, maxy, ring)
+      |),
+      |cents AS (
+      |  SELECT clubId, courseId, holeNumber,
+      |    (minx + maxx) / 2 AS clon, (miny + maxy) / 2 AS clat
+      |  FROM bounds),
+      |scored AS (
+      |  SELECT p.url, p.lon, p.lat, c.clubId, c.courseId, c.holeNumber,
+      |    row_number() OVER (PARTITION BY p.url ORDER BY
+      |      2.0 * 6371008.8 * asin(least(1.0, sqrt(
+      |        sin((radians(c.clat) - radians(p.lat)) / 2) * sin((radians(c.clat) - radians(p.lat)) / 2) +
+      |        cos(radians(p.lat)) * cos(radians(c.clat)) *
+      |        sin(radians(c.clon - p.lon) / 2) * sin(radians(c.clon - p.lon) / 2)))),
+      |      c.clubId, c.courseId, c.holeNumber) AS rank
+      |  FROM pages p CROSS JOIN cents c)
+      |SELECT url, lon, lat, clubId, courseId, holeNumber, rank FROM scored WHERE rank <= 3""".stripMargin),
 
     // markers: same independent ray cast, probing the planted marker
     // points instead of pages (the generator plants one inside + one far
