@@ -776,18 +776,18 @@ object SparkEntry {
     "q49_knn_courses" -> ((s, d) => {
       // output is (page, neighbor, rank) — the haversine VALUE is excluded
       // (libm sin/asin ULP parity across engines isn't guaranteed; the
-      // ORDERING agrees, which is what rank checks — same policy as q36)
-      SpatialJoin.knnCourses(pages(s, d).limit(2000), boundsDf(s), k = 3)
+      // ORDERING agrees, which is what rank checks — same policy as q36).
+      // The probe slice is a DETERMINISTIC filter, not limit(n): an
+      // unordered limit feeding a graded output is partition-order-
+      // dependent the moment the table outgrows n
+      SpatialJoin.knnCourses(pages(s, d).filter(col("page_id") < 2000),
+          boundsDf(s), k = 3)
         .select(col("url"), col("lon"), col("lat"),
           col("clubId"), col("courseId"), col("holeNumber"), col("rank"))
     }),
 
     "q50_priority_order" -> ((s, d) => {
-      val b = boundsDf(s)
-      CourseEngine.priorityOrder(b, Seq(
-        ("club-0001", "course-0001", 1), ("club-0001", "course-0001", 2),
-        ("club-0003", "course-0003", 5), ("club-0002", "course-0002", 9),
-        ("club-0000", "course-0000", 3)))
+      CourseEngine.priorityOrder(boundsDf(s), Q50Priority)
         .select(col("clubId"), col("courseId"), col("holeNumber"), col("prio"))
         .limit(50)
     })
@@ -811,9 +811,13 @@ object SparkEntry {
         h.gpsItems.find(_.itemType == "HoleBoundary").flatMap { item =>
           val flat = item.shape.iterator
             .flatMap(p => Iterator(p.longitude, p.latitude)).toArray
-          val closed = graft.geom.Geom.closeRing(
-            graft.geom.Geom.gaussianSmooth(flat, 1.0))
-          if (graft.geom.Geom.nPts(closed) < 3 ||
+          val smoothed = graft.geom.Geom.gaussianSmooth(flat, 1.0)
+          val closed = graft.geom.Geom.closeRing(smoothed)
+          // the pipeline's make_polygon receives the ALREADY-closed ring
+          // (closed_ring runs first), so both of its null guards reduce to
+          // "fewer than 3 open vertices" — checked here in that form;
+          // PipelineSpec pins bit-equality with the engine's boundary dim
+          if (graft.geom.Geom.nPts(smoothed) < 3 ||
               graft.geom.Geom.nPts(closed) - 1 < 3) None
           else Some((c.clubId, c.courseId, pos + 1, closed))
         }
@@ -839,6 +843,13 @@ object SparkEntry {
         .map(i => s"[${dlit(flat(2 * i))},${dlit(flat(2 * i + 1))}]").mkString("[", ",", "]")
       s"('$cl','$co',$h,${dlit(e(0))},${dlit(e(1))},${dlit(e(2))},${dlit(e(3))},$pts)"
     }.mkString(",")
+
+  /** W2 priority fixture — ONE definition feeds both the q50 query and
+    * its oracle CASE (hand-copied literals drift). */
+  private val Q50Priority = Seq(
+    ("club-0001", "course-0001", 1), ("club-0001", "course-0001", 2),
+    ("club-0003", "course-0003", 5), ("club-0002", "course-0002", 9),
+    ("club-0000", "course-0000", 3))
 
   /** Marker positions recomputed in pure JVM (single-point marker-type
     * gpsItems), as `(clubId, courseId, holeNumber, itemType, x, y)`
@@ -1302,7 +1313,7 @@ object SparkEntry {
       |        cos(radians(p.lat)) * cos(radians(c.clat)) *
       |        sin(radians(c.clon - p.lon) / 2) * sin(radians(c.clon - p.lon) / 2)))),
       |      c.clubId, c.courseId, c.holeNumber) AS rank
-      |  FROM pages p CROSS JOIN cents c)
+      |  FROM pages p CROSS JOIN cents c WHERE p.page_id < 2000)
       |SELECT url, lon, lat, clubId, courseId, holeNumber, rank FROM scored WHERE rank <= 3""".stripMargin),
 
     // markers: same independent ray cast, probing the planted marker
@@ -1321,8 +1332,9 @@ object SparkEntry {
          |  SELECT m.*, list_zip(list_prepend(b.ring[len(b.ring)], b.ring[1:len(b.ring)-1]), b.ring) AS prs
          |  FROM markers m JOIN bounds b USING (clubId, courseId, holeNumber)
          |)
-         |SELECT clubId, courseId, holeNumber, itemType, CAST(20 AS INT) AS zorder,
-         |  x, y, ${dlit(3.0 / 0.2 / 200.0)} AS marker_zoom
+         |SELECT clubId, courseId, holeNumber, itemType,
+         |  CAST(${graft.pipeline.Catalog.items.filter(_.category == "marker").map(_.zorder).distinct.head} AS INT) AS zorder,
+         |  x, y, ${dlit(graft.geom.Geom.MarkerSizeM / graft.geom.Geom.MetersPerPixel / 200.0)} AS marker_zoom
          |FROM cand
          |WHERE len(list_filter(prs, pr ->
          |    (pr[2][1] - pr[1][1]) * (y - pr[1][2]) - (pr[2][2] - pr[1][2]) * (x - pr[1][1]) = 0
@@ -1333,7 +1345,8 @@ object SparkEntry {
          |    AND x < (pr[1][1] - pr[2][1]) * (y - pr[2][2]) / (pr[1][2] - pr[2][2]) + pr[2][1])) % 2 = 1""".stripMargin,
 
     // priority reorder over the literal hole keys: DuckDB recomputes the
-    // CASE priorities, the total order, and the limit
+    // CASE priorities (generated from the SAME Q50Priority the query
+    // uses), the total order, and the limit
     "q50_priority_order" ->
       s"""WITH bounds AS (
          |  SELECT * FROM (VALUES $oracleBoundsValues)
@@ -1342,12 +1355,10 @@ object SparkEntry {
          |SELECT clubId, courseId, holeNumber, prio FROM (
          |  SELECT clubId, courseId, holeNumber,
          |    CAST(CASE
-         |      WHEN clubId = 'club-0001' AND courseId = 'course-0001' AND holeNumber = 1 THEN 0
-         |      WHEN clubId = 'club-0001' AND courseId = 'course-0001' AND holeNumber = 2 THEN 1
-         |      WHEN clubId = 'club-0003' AND courseId = 'course-0003' AND holeNumber = 5 THEN 2
-         |      WHEN clubId = 'club-0002' AND courseId = 'course-0002' AND holeNumber = 9 THEN 3
-         |      WHEN clubId = 'club-0000' AND courseId = 'course-0000' AND holeNumber = 3 THEN 4
-         |      ELSE 2147483647 END AS INT) AS prio
+         |${Q50Priority.zipWithIndex.map { case ((cl, co, h), i) =>
+             s"      WHEN clubId = '$cl' AND courseId = '$co' AND holeNumber = $h THEN $i"
+           }.mkString("\n")}
+         |      ELSE ${Int.MaxValue} END AS INT) AS prio
          |  FROM bounds)
          |ORDER BY prio, clubId, courseId, holeNumber LIMIT 50""".stripMargin,
 

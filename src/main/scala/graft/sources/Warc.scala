@@ -46,23 +46,40 @@ object Warc {
    */
   def parseStream(in: java.io.InputStream): Iterator[WarcRecord] =
     new Iterator[WarcRecord] {
-      private var offset = 0L
+      // `pos` = 0-based stream position OF THE LOOKAHEAD BYTE, so error
+      // offsets point AT the malformed byte, not past it
+      private var pos = -1L
+      private var closed = false
       private var nextByte: Int = read() // 1-byte lookahead
-      private def read(): Int = { val b = in.read(); if (b >= 0) offset += 1; b }
+      private def read(): Int = {
+        if (closed) return -1
+        val b = in.read()
+        pos += 1
+        if (b < 0) { closed = true; in.close() } // EOF releases the stream
+        b
+      }
+      private def fail(msg: String): Nothing = {
+        if (!closed) { closed = true; in.close() } // errors release it too
+        throw new IllegalArgumentException(msg)
+      }
+      private def check(ok: Boolean, msg: => String): Unit = if (!ok) fail(msg)
       private def advance(): Int = { val b = nextByte; nextByte = read(); b }
       private def skipCrlf(): Unit =
-        while (nextByte == '\r') { advance(); require(advance() == '\n',
-          s"WARC: lone CR at offset $offset") }
+        while (nextByte == '\r') {
+          advance()
+          check(nextByte == '\n', s"WARC: lone CR at offset ${pos - 1}")
+          advance()
+        }
       skipCrlf()
       override def hasNext: Boolean = nextByte >= 0
       override def next(): WarcRecord = {
-        val start = offset
+        val start = pos
         // header block: bytes until CRLF CRLF
         val hb = new java.io.ByteArrayOutputStream(256)
         var run = 0 // consecutive \r\n\r\n progress
         while (run < 4) {
+          check(nextByte >= 0, s"WARC: unterminated header block at offset $start")
           val b = advance()
-          require(b >= 0, s"WARC: unterminated header block at offset $start")
           run = (run, b) match {
             case (0, '\r') => 1
             case (1, '\n') => 2
@@ -74,32 +91,31 @@ object Warc {
           hb.write(b)
         }
         val lines = new String(hb.toByteArray, UTF_8).stripSuffix("\r\n\r\n").split("\r\n")
-        require(lines.nonEmpty && lines(0).startsWith("WARC/"),
+        check(lines.nonEmpty && lines(0).startsWith("WARC/"),
           s"WARC: expected version line at offset $start, got '${lines.headOption.getOrElse("")}'")
         val headers = lines.tail.map { l =>
           val i = l.indexOf(':')
-          require(i > 0, s"WARC: malformed header '$l' at offset $start")
+          check(i > 0, s"WARC: malformed header '$l' at offset $start")
           l.substring(0, i).trim.toLowerCase -> l.substring(i + 1).trim
         }.toMap
         val clen = headers.getOrElse("content-length",
-          throw new IllegalArgumentException(
-            s"WARC: missing Content-Length at offset $start")).toLong
-        require(clen >= 0 && clen <= Int.MaxValue - 8,
+          fail(s"WARC: missing Content-Length at offset $start")).toLong
+        check(clen >= 0 && clen <= Int.MaxValue - 8,
           s"WARC: invalid Content-Length $clen at offset $start")
         // bulk payload read (first byte comes from the lookahead)
         val payload = new Array[Byte](clen.toInt)
         if (clen > 0) {
-          require(nextByte >= 0,
-            s"WARC: truncated payload at offset $offset (need $clen bytes)")
+          check(nextByte >= 0,
+            s"WARC: truncated payload at offset $pos (need $clen bytes)")
           payload(0) = nextByte.toByte
           var got = 1
           while (got < clen) {
-            val n = in.read(payload, got, clen.toInt - got)
-            require(n > 0,
-              s"WARC: truncated payload at offset ${offset + got} (need $clen bytes)")
+            val n = if (closed) -1 else in.read(payload, got, clen.toInt - got)
+            check(n > 0,
+              s"WARC: truncated payload at offset ${pos + got} (need $clen bytes)")
             got += n
           }
-          offset += clen - 1
+          pos += clen - 1
           nextByte = read()
         }
         skipCrlf() // the record's closing CRLF CRLF (and any padding)

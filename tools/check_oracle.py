@@ -26,12 +26,23 @@ def main():
         stem = os.path.basename(p)[: -len(".parquet")]
         con.sql(f"CREATE VIEW {stem} AS SELECT * FROM '{p}'")
     oracles = json.load(open(f"{out}/oracle_sql.json"))
-    # dumps without an oracle entry: list them (weaker rows-only checks)
+    # dumps without an oracle entry: perform the actual rows-only check
+    # (readable parquet, > 0 rows) instead of just listing them
     dumped = {d for d in os.listdir(out)
               if os.path.isdir(os.path.join(out, d))}
-    for d in sorted(dumped - set(oracles)):
-        print(f"{d}: NO_ORACLE (rows-only)")
     ok = n_fail = 0
+    for d in sorted(dumped - set(oracles)):
+        try:
+            files = glob.glob(f"{out}/{d}/*.parquet")
+            n = sum(len(pd.read_parquet(f)) for f in files) if files else -1
+            if n > 0:
+                print(f"{d}: NO_ORACLE rows={n} (rows-only check passed)")
+            else:
+                print(f"{d}: NO_ORACLE FAIL (missing or empty dump)")
+                n_fail += 1
+        except Exception as e:
+            print(f"{d}: NO_ORACLE ERR {str(e)[:120]}")
+            n_fail += 1
     for name in sorted(oracles):
         try:
             files = glob.glob(f"{out}/{name}/*.parquet")
@@ -55,12 +66,15 @@ def main():
             bad = False
             for c in cols:
                 a, b = s[c].values, od[c].values
+                # float64 equality ONLY when both sides are float dtypes;
+                # coercing an int64 side to float64 would false-pass
+                # >2^53 integer mismatches (hash/mask columns)
                 if (np.issubdtype(s[c].dtype, np.floating)
-                        or np.issubdtype(od[c].dtype, np.floating)):
+                        and np.issubdtype(od[c].dtype, np.floating)):
                     eq = np.array_equal(a.astype("float64"), b.astype("float64"),
                                         equal_nan=True)
                 else:
-                    eq = (pd.Series(a).astype(str) == pd.Series(b).astype(str)).all()
+                    eq = (pd.Series(a).map(repr) == pd.Series(b).map(repr)).all()
                 if not eq:
                     print(f"{name}: VALUES column {c}; "
                           f"spark head {a[:3]}, oracle head {b[:3]}")
