@@ -232,6 +232,20 @@ object SparkEntry {
           sum(dec(col("o_totalprice"))).cast("double").as("total"))
     }),
 
+    // ---- built-in session windows (beside q19's manual gap windows) ----
+    "q58_session_window" -> ((s, d) => {
+      // the BUILT-IN session_window aggregation — same 30-minute gap
+      // semantics as q19's lag/sum composition, but via the native
+      // session-window operator (merge-on-overlap; streaming-capable)
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"))
+    }),
+
     // ---- as-of join over the events stream table ----
     "q57_asof_join" -> ((s, d) => {
       // AS-OF JOIN: latest event of the same user STRICTLY BEFORE each
@@ -1079,6 +1093,26 @@ object SparkEntry {
     "q20_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY text""".stripMargin,
+
+    // session_window replay: session = maximal run of events whose gap to
+    // the previous is < 30 min (Spark starts a NEW session at diff >= gap
+    // — windows are [ts, ts+gap) and merge only on strict overlap);
+    // session_end = last event + gap
+    "q58_session_window" ->
+      """SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
+        |FROM (
+        |  SELECT user_id, ts,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        |  FROM (
+        |    SELECT user_id, ts, event_id,
+        |      CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |        THEN 1 ELSE 0 END AS new_sess
+        |    FROM (
+        |      SELECT user_id, ts, event_id,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events)))
+        |GROUP BY user_id, session_id""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the oracle for the composed
     // union+window as-of; strict inequality via q.ts > e.ts
