@@ -25,10 +25,15 @@ object Bench {
     s
   }
 
+  private def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.length / 2)
+
   /** Flagship job: cover-prefilter PIP join + tile assignment over
-    * amplified pages; returns (pages, joinSec, tileSec, assignments). */
-  def flagship(spark: SparkSession, sfDir: String, amplify: Int, parts: Int):
-      (Long, Double, Double, Long) = {
+    * amplified pages; returns (pages, joinSec, tileSec, assignments).
+    * `runs` > 1 repeats ONLY the timed sections (setup amortized) and
+    * reports the median — a single contention spike can't masquerade as
+    * a regression in the artifact of record (r2 verdict item). */
+  def flagship(spark: SparkSession, sfDir: String, amplify: Int, parts: Int,
+               runs: Int = 1): (Long, Double, Double, Long) = {
     // seed docs pre-partitioned + cached: the sandbox stand-in for a
     // many-split table scan (the 10^12-row table would arrive pre-split)
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -44,19 +49,24 @@ object Bench {
       data.Courses.itemsDf(spark, SparkEntry.NCourses))
     val bounds = localize(bounds0)
     val cover = localize(pipeline.SpatialJoin.coverDfFlat(bounds0))
-    val t0 = System.nanoTime()
-    val nAssign = pipeline.SpatialJoin.assignPagesFlat(pages, cover, bounds).count()
-    val joinSec = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    pages.select(
-      gf.tile_x(col("lon"), lit(15)).as("tx"),
-      gf.tile_y(col("lat"), lit(15)).as("ty"),
-      gf.quadkey(lit(15), gf.tile_x(col("lon"), lit(15)), gf.tile_y(col("lat"), lit(15))).as("qk"),
-      gf.cell_id(col("lon"), col("lat"), lit(15)).as("cell"))
-      .agg(count(lit(1)), sum(col("tx")), sum(col("ty")), sum(col("cell"))).collect()
-    val tileSec = (System.nanoTime() - t1) / 1e9
+    var nAssign = 0L
+    val joinSecs = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      nAssign = pipeline.SpatialJoin.assignPagesFlat(pages, cover, bounds).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val tileSecs = (1 to runs).map { _ =>
+      val t1 = System.nanoTime()
+      pages.select(
+        gf.tile_x(col("lon"), lit(15)).as("tx"),
+        gf.tile_y(col("lat"), lit(15)).as("ty"),
+        gf.quadkey(lit(15), gf.tile_x(col("lon"), lit(15)), gf.tile_y(col("lat"), lit(15))).as("qk"),
+        gf.cell_id(col("lon"), col("lat"), lit(15)).as("cell"))
+        .agg(count(lit(1)), sum(col("tx")), sum(col("ty")), sum(col("cell"))).collect()
+      (System.nanoTime() - t1) / 1e9
+    }
     docs.unpersist()
-    (nPages, joinSec, tileSec, nAssign)
+    (nPages, median(joinSecs), median(tileSecs), nAssign)
   }
 
   /** PIP-bound flagship variant: pages dense around course centroids so
@@ -91,26 +101,34 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val amplify = sys.env.getOrElse("SPARK_GRAFT_AMPLIFY", "20000").toInt
     val spark = session(cpus)
-    // JIT/codegen warmup: the first plans of a fresh JVM otherwise pay
-    // whole-stage-codegen compilation + JIT for every query after them
+    // CONTENTION-PROOFING (r2 verdict: a host-contention window made the
+    // artifact of record read 3x slow): JIT/codegen warmup first, then
+    // median-of-N per query — a single slow outlier can no longer print
+    // as a phantom regression. Per-query min + run count are emitted too
+    // so any residual variance is visible in the artifact itself.
+    val runsPer = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     Seq("q01_pricing_summary", "q14_tile_assign", "q40_course_assign").foreach { q =>
       try SparkEntry.queries(q)(spark, sfDir).count() catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-        -1L
+      val times = (1 to runsPer).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          -1L
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times
     }
     val (nPages, joinSec, tileSec, nAssign) =
-      flagship(spark, sfDir, amplify, cpus.toInt * 4)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+      flagship(spark, sfDir, amplify, cpus.toInt * 4, runs = runsPer)
+    def obj(f: Seq[Double] => Double) = results
+      .map { case (k, ts) => "\"" + k + "\":" + f(ts) }.mkString("{", ",", "}")
+    val total = results.map { case (_, ts) => median(ts) }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"median_of_$runsPer","runs":$runsPer,""" +
+        s""""queries":${obj(median)},"query_min":${obj(_.min)},"sf":"$sfDir",""" +
         s""""flagship_pages":$nPages,"flagship_assignments":$nAssign,""" +
         s""""spatial_join_pages_per_sec":${(nPages / joinSec).toLong},""" +
         s""""tile_assign_pages_per_sec":${(nPages / tileSec).toLong}}""")

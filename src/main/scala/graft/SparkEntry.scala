@@ -757,10 +757,19 @@ object SparkEntry {
     }),
 
     "q43_clip_join" -> ((s, d) => {
+      // clip_area is quantized to a fixed 1e-12 deg^2 grid (~6-7 significant
+      // digits at these hole sizes) and sub-quantum rows are dropped on BOTH
+      // sides: the engine (Greiner-Hormann true boundaries / triangulated
+      // fallback) and the DuckDB oracle (signed fan decomposition x S-H
+      // triangle clipping) compute the SAME exact real area by different
+      // float decompositions, agreeing to ~1e-17 in the boundary-local
+      // frame — far inside the quantum, so the integer compare is stable
       val items = itemsDf(s)
       CourseEngine.clippedPolygons(items, CourseEngine.boundaries(items))
-        .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemType"),
-          round(col("clip_area"), 12).as("clip_area"))
+        .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemSeq"),
+          col("itemType"),
+          floor(col("clip_area") * lit(1e12) + lit(0.5)).cast("long").as("clip_area_e12"))
+        .filter(col("clip_area_e12") >= 1)
     }),
 
     "q44_drawlist" -> ((s, d) => {
@@ -771,7 +780,19 @@ object SparkEntry {
     }),
 
     "q45_viewports" -> ((s, d) => {
+      // fig/aspect pass through cos(), where cross-engine libm parity is
+      // NOT guaranteed (measured: 1/763 cos calls differs by 1 ULP vs
+      // DuckDB) — rounded to 1e-6 the ULP drift is ~9 orders of magnitude
+      // inside the quantum, so the driver can hash-compare the values.
+      // Envelope coords and marker_px are exact doubles, left raw. The
+      // raw-viewport operator keeps its full-precision scalatest pin.
       CourseEngine.viewports(boundsDf(s))
+        .select(col("clubId"), col("courseId"), col("holeNumber"),
+          col("west"), col("south"), col("east"), col("north"),
+          round(col("fig_w_in"), 6).as("fig_w_in"),
+          round(col("fig_h_in"), 6).as("fig_h_in"),
+          round(col("aspect"), 6).as("aspect"),
+          col("marker_px"))
     }),
 
     "q46_tile_masks" -> ((s, d) => {
@@ -866,20 +887,198 @@ object SparkEntry {
     ("club-0000", "course-0000", 3))
 
   /** Marker positions recomputed in pure JVM (single-point marker-type
-    * gpsItems), as `(clubId, courseId, holeNumber, itemType, x, y)`
+    * gpsItems), as `(clubId, courseId, holeNumber, itemSeq, itemType, x, y)`
     * VALUES literals — the DuckDB side re-derives the strict containment
     * decision itself. */
   private lazy val oracleMarkerValues: String =
     Courses.courses(NCourses).flatMap { c =>
       c.holes.zipWithIndex.flatMap { case (h, pos) =>
-        h.gpsItems.collect {
-          case item if Courses.markerTypes.contains(item.itemType) &&
+        h.gpsItems.zipWithIndex.collect {
+          case (item, seq) if Courses.markerTypes.contains(item.itemType) &&
             item.shape.length == 1 =>
-            s"('${c.clubId}','${c.courseId}',${pos + 1},'${item.itemType}'," +
+            s"('${c.clubId}','${c.courseId}',${pos + 1},$seq,'${item.itemType}'," +
               s"${dlit(item.shape.head.longitude)},${dlit(item.shape.head.latitude)})"
         }
       }
     }.mkString(",")
+
+  private lazy val catalogByType: Map[String, Catalog.Item] =
+    Catalog.items.map(i => i.itemType -> i).toMap
+
+  /** A flat ring as a DuckDB `[[x,y],...]` literal (DOUBLE via [[dlit]]). */
+  private def ringLit(r: Array[Double]): String =
+    (0 until graft.geom.Geom.nPts(r))
+      .map(i => s"[${dlit(r(2 * i))},${dlit(r(2 * i + 1))}]").mkString("[", ",", "]")
+
+  /** Translate a flat ring by (-dx, -dy) with the EXACT float ops the
+    * engine's boundary-local projection performs (`x + (-dx)`). */
+  private def translateRing(r: Array[Double], dx: Double, dy: Double): Array[Double] = {
+    val out = new Array[Double](r.length)
+    var i = 0
+    while (i < r.length) {
+      out(i) = if (i % 2 == 0) r(i) + (-dx) else r(i) + (-dy)
+      i += 1
+    }
+    out
+  }
+
+  /**
+   * q43/q44 clip candidates recomputed in pure JVM: for every
+   * polygon-category non-boundary gpsItem the engine's exact pre-geometry
+   * gating chain is replayed with the SAME kernel calls
+   * (`CourseEngine.clippedPolygons`'s P6 size filter, make_polygon guards,
+   * `GeoOps.stIntersection`'s per-ring validity gates, the
+   * envelope quick-reject) on rings translated to the boundary-local
+   * frame — so what reaches DuckDB is exactly the set of pairs whose
+   * survival hinges on GEOMETRY (does the intersection have positive
+   * area?), which the oracle then decides independently.
+   * `(clubId, courseId, holeNumber, itemSeq, itemType, zorder,
+   *   itemRingOpen, boundaryRingOpen)`; rings open (closing dup dropped),
+   * translated by the boundary ring's first vertex.
+   */
+  private[graft] lazy val oracleClipCands
+      : Seq[(String, String, Int, Int, String, Int, Array[Double], Array[Double])] = {
+    import graft.geom.Geom
+    val boundsByKey = oracleBounds.map { case (cl, co, h, f) => (cl, co, h) -> f }.toMap
+    Courses.courses(NCourses).flatMap { c =>
+      c.holes.zipWithIndex.flatMap { case (hole, pos) =>
+        boundsByKey.get((c.clubId, c.courseId, pos + 1)).toSeq.flatMap { bClosed =>
+          val b0x = bClosed(0); val b0y = bClosed(1)
+          val bT = translateRing(bClosed, b0x, b0y)
+          hole.gpsItems.zipWithIndex.flatMap { case (item, seq) =>
+            val cat = catalogByType.get(item.itemType)
+            if (item.itemType == "HoleBoundary" || !cat.exists(_.category == "polygon") ||
+                item.shape.length <= 2) None
+            else {
+              val flat = item.shape.iterator
+                .flatMap(p => Iterator(p.longitude, p.latitude)).toArray
+              // the engine's make_polygon(closed_ring(gaussian_smooth(...)))
+              val smoothed = Geom.gaussianSmooth(flat, 1.0)
+              val closed1 = Geom.closeRing(smoothed)
+              if (Geom.nPts(closed1) < 3 || Geom.nPts(Geom.closeRing(closed1)) - 1 < 3) None
+              else {
+                val iT = translateRing(Geom.closeRing(closed1), b0x, b0y)
+                // stIntersection's validity gates, then the envelope
+                // quick-reject shared by both intersection paths
+                if (!Geom.isRingValid(iT) || !Geom.isRingValid(bT)) None
+                else {
+                  val ei = Geom.envelope(Geom.dropClosingDup(iT))
+                  val eb = Geom.envelope(Geom.dropClosingDup(bT))
+                  if (ei(2) < eb(0) || eb(2) < ei(0) || ei(3) < eb(1) || eb(3) < ei(1)) None
+                  else Some((c.clubId, c.courseId, pos + 1, seq, item.itemType,
+                    cat.get.zorder, Geom.dropClosingDup(iT), Geom.dropClosingDup(bT)))
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Clip-candidate item rings as VALUES literals (boundary-local frame);
+    * the boundary ring joins in from [[oracleTBoundsValues]] to avoid
+    * duplicating it per item. */
+  private lazy val oracleClipValues: String =
+    oracleClipCands.map { case (cl, co, h, seq, it, z, iring, _) =>
+      s"('$cl','$co',$h,$seq,'$it',$z,${ringLit(iring)})"
+    }.mkString(",")
+
+  /** One translated OPEN boundary ring per hole that has clip candidates. */
+  private lazy val oracleTBoundsValues: String =
+    oracleClipCands.groupBy(c => (c._1, c._2, c._3)).toSeq.sortBy(_._1)
+      .map { case ((cl, co, h), cs) => s"('$cl','$co',$h,${ringLit(cs.head._8)})" }
+      .mkString(",")
+
+  /** Line-category items (raw coords) for the q44 vertex-clip replay:
+    * `(clubId, courseId, holeNumber, itemSeq, itemType, zorder, pts)`. */
+  private lazy val oracleLineValues: String =
+    Courses.courses(NCourses).flatMap { c =>
+      c.holes.zipWithIndex.flatMap { case (h, pos) =>
+        h.gpsItems.zipWithIndex.collect {
+          case (item, seq) if catalogByType.get(item.itemType).exists(_.category == "line") =>
+            val pts = item.shape
+              .map(p => s"[${dlit(p.longitude)},${dlit(p.latitude)}]").mkString("[", ",", "]")
+            s"('${c.clubId}','${c.courseId}',${pos + 1},$seq,'${item.itemType}'," +
+              s"${catalogByType(item.itemType).zorder},$pts)"
+        }
+      }
+    }.mkString(",")
+
+  /** q31's hyperplane-LSH weights as VALUES literals — pure DATA-INDEPENDENT
+    * constants (`TextOps.hyperplaneLsh`'s mix64 stream for 4 tables x 8
+    * bits over the 64-dim embeddings), so emitting them leaves every
+    * data-dependent step (dot signs, buckets, candidates, exact cosine,
+    * ranks) to DuckDB. */
+  private lazy val oracleHyperplaneValues: String =
+    (0 until 4).flatMap { tbl =>
+      (0 until 8).map { bit =>
+        val ws = (0 until 64).map { d =>
+          dlit(graft.expr.TextOps.mix64((100L + tbl) + bit * 1000003L + d).toDouble /
+            Long.MaxValue.toDouble)
+        }.mkString("[", ",", "]")
+        s"($tbl,$bit,$ws)"
+      }
+    }.mkString(",")
+
+  /** Ordered float64 fold of `f(i)` over i = 1..len(`arr`) — DuckDB's sum()
+    * is order-nondeterministic; the engine accumulates sequentially. */
+  private def orderedSum(arr: String, f: String => String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($arr)), i ->
+       |      ${f("i")})), (acc, v) -> acc + v)""".stripMargin
+
+  /** DuckDB Sutherland–Hodgman half-plane clip of point-list column `p`
+    * by the directed edge `e1 -> e2` (inside = left); `e1`/`e2` are SQL
+    * `[x,y]` expressions. Mirrors the textbook emit rule (entering edges
+    * emit the crossing then the vertex; leaving edges emit the crossing). */
+  private def hpClip(p: String, e1: String, e2: String): String = {
+    def side(q: String): String =
+      s"(($e2[1] - $e1[1]) * ($q[2] - $e1[2]) - ($e2[2] - $e1[2]) * ($q[1] - $e1[1]))"
+    val c = s"$p[k]"
+    val pv = s"$p[CASE WHEN k = 1 THEN len($p) ELSE k - 1 END]"
+    val sc = side(c)
+    val sp = side(pv)
+    val t = s"($sp / ($sp - $sc))"
+    val ip = s"[$pv[1] + $t * ($c[1] - $pv[1]), $pv[2] + $t * ($c[2] - $pv[2])]"
+    s"""flatten(list_transform(generate_series(1, len($p)), k ->
+       |      CASE WHEN $sc >= 0 AND $sp < 0 THEN [$ip, $c]
+       |           WHEN $sc >= 0 THEN [$c]
+       |           WHEN $sp >= 0 THEN [$ip]
+       |           ELSE CAST([] AS DOUBLE[][]) END))""".stripMargin
+  }
+
+  /** Strict point-in-ring SQL (on-edge excluded), `ring` an OPEN
+    * `[[x,y],...]` list column — the open-ring form of [[pipHitsCtes]]'
+    * ray cast (same fused on-segment + even-odd shape). */
+  private def pipExpr(qx: String, qy: String, ring: String): String = {
+    val prs = s"list_zip(list_prepend($ring[len($ring)], $ring[1:len($ring)-1]), $ring)"
+    s"""(len(list_filter($prs, pr ->
+       |      (pr[2][1] - pr[1][1]) * ($qy - pr[1][2]) - (pr[2][2] - pr[1][2]) * ($qx - pr[1][1]) = 0
+       |      AND $qx >= least(pr[1][1], pr[2][1]) AND $qx <= greatest(pr[1][1], pr[2][1])
+       |      AND $qy >= least(pr[1][2], pr[2][2]) AND $qy <= greatest(pr[1][2], pr[2][2]))) = 0
+       |    AND len(list_filter($prs, pr ->
+       |      ((pr[2][2] > $qy) != (pr[1][2] > $qy))
+       |      AND $qx < (pr[1][1] - pr[2][1]) * ($qy - pr[2][2]) / (pr[1][2] - pr[2][2]) + pr[2][1])) % 2 = 1)""".stripMargin
+  }
+
+  /** Shared CTE prefix for q43/q44: the clip candidates and their
+    * (item edge x boundary edge) pair expansion. */
+  private def clipCandsCtes: String =
+    s"""tbounds AS (
+       |  SELECT * FROM (VALUES $oracleTBoundsValues)
+       |    AS tb(clubId, courseId, holeNumber, bring)),
+       |ivals AS (
+       |  SELECT * FROM (VALUES $oracleClipValues)
+       |    AS iv(clubId, courseId, holeNumber, itemSeq, itemType, zorder, iring)),
+       |cands AS (
+       |  SELECT * FROM ivals JOIN tbounds USING (clubId, courseId, holeNumber)),
+       |pairs AS (
+       |  SELECT clubId, courseId, holeNumber, itemSeq, itemType,
+       |    iring[i] AS a1, iring[CASE WHEN i = len(iring) THEN 1 ELSE i + 1 END] AS a2,
+       |    bring[j] AS b1, bring[CASE WHEN j = len(bring) THEN 1 ELSE j + 1 END] AS b2
+       |  FROM cands,
+       |    unnest(generate_series(1, len(iring))) AS gi(i),
+       |    unnest(generate_series(1, len(bring))) AS gj(j))""".stripMargin
 
   /** Shared CTEs for the raster-family oracles: enumerate each boundary's
     * covering z-17 tiles (same tile formulas the q14 oracle pinned), build
@@ -1240,6 +1439,44 @@ object SparkEntry {
         |FROM documents, unnest([0,2,4,6,8,10,12,14]) AS t(frame_idx)
         |WHERE doc_id % 3 = 2""".stripMargin,
 
+    // full LSH-ANN replay: hyperplane weights are emitted as constants
+    // (see oracleHyperplaneValues); DuckDB re-derives every dot sign,
+    // bucket, candidate pair, exact cosine (engine accumulation order →
+    // bit-identical sims) and rank
+    "q31_ann_lsh" ->
+      s"""WITH hp AS (
+         |  SELECT * FROM (VALUES $oracleHyperplaneValues) AS h(tbl, bit, ws)),
+         |dots AS (
+         |  SELECT e.vec_id, h.tbl, h.bit,
+         |    ${orderedSum("h.ws", i => s"CAST(e.embedding[$i] AS DOUBLE) * h.ws[$i]")} AS dot
+         |  FROM embeddings e CROSS JOIN hp h),
+         |buckets AS (
+         |  SELECT vec_id, tbl,
+         |    sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS bucket
+         |  FROM dots GROUP BY vec_id, tbl),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, e.vec_id
+         |  FROM buckets q JOIN buckets e ON q.tbl = e.tbl AND q.bucket = e.bucket
+         |  WHERE q.vec_id < 8 AND e.vec_id != q.vec_id),
+         |sims AS (
+         |  SELECT c.query_id, c.vec_id,
+         |    ${orderedSum("a.embedding",
+             i => s"CAST(a.embedding[$i] AS DOUBLE) * CAST(b.embedding[$i] AS DOUBLE)")} AS dot,
+         |    ${orderedSum("a.embedding",
+             i => s"CAST(a.embedding[$i] AS DOUBLE) * CAST(a.embedding[$i] AS DOUBLE)")} AS na,
+         |    ${orderedSum("b.embedding",
+             i => s"CAST(b.embedding[$i] AS DOUBLE) * CAST(b.embedding[$i] AS DOUBLE)")} AS nb
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.vec_id
+         |              JOIN embeddings b ON b.vec_id = c.query_id)
+         |SELECT query_id, rank, vec_id, round(sim, 6) AS sim FROM (
+         |  SELECT query_id, vec_id,
+         |    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END DESC,
+         |      vec_id) AS rank
+         |  FROM sims)
+         |WHERE rank <= 10""".stripMargin,
+
     // full IVF replay: md5-ordered centroid sample, argmax list assignment
     // (ties to the smallest list_id), nProbe=4 probes, exact rank within
     "q36_ann_ivf" ->
@@ -1299,6 +1536,127 @@ object SparkEntry {
         |  WHERE a.doc_id < 100 AND len(a.grams) + len(b.grams) > 0)
         |WHERE jaccard >= 0.4""".stripMargin,
 
+    // the signature geometry operator, independently re-derived: the clip
+    // area of every surviving (item, boundary) pair is recomputed in DuckDB
+    // by a SIGNED FAN DECOMPOSITION — each ring is the signed sum of fan
+    // triangles from the local-frame origin, so area(A∩B) = Σ_ij s_i t_j
+    // area(T_i ∩ U_j), each T∩U a convex triangle pair clipped by
+    // Sutherland–Hodgman and measured by shoelace. No triangulation,
+    // piece structure, or clip algorithm is shared with the engine's
+    // Greiner–Hormann path — only the exact real value, compared on a
+    // 1e-12 quantum both sides round to (see the q43 query comment).
+    "q43_clip_join" -> ("WITH " + clipCandsCtes + s""",
+      |tris AS (
+      |  SELECT clubId, courseId, holeNumber, itemSeq, itemType,
+      |    CASE WHEN ((a1[1] * a2[2] - a1[2] * a2[1]) > 0) = ((b1[1] * b2[2] - b1[2] * b2[1]) > 0)
+      |      THEN 1.0 ELSE -1.0 END AS sgn,
+      |    CASE WHEN (a1[1] * a2[2] - a1[2] * a2[1]) > 0 THEN [[0.0, 0.0], a1, a2]
+      |      ELSE [[0.0, 0.0], a2, a1] END AS t,
+      |    CASE WHEN (b1[1] * b2[2] - b1[2] * b2[1]) > 0 THEN b1 ELSE b2 END AS u1,
+      |    CASE WHEN (b1[1] * b2[2] - b1[2] * b2[1]) > 0 THEN b2 ELSE b1 END AS u2
+      |  FROM pairs
+      |  WHERE (a1[1] * a2[2] - a1[2] * a2[1]) != 0 AND (b1[1] * b2[2] - b1[2] * b2[1]) != 0),
+      |c1 AS (SELECT *, ${hpClip("t", "[0.0, 0.0]", "u1")} AS p1 FROM tris),
+      |c2 AS (SELECT *, ${hpClip("p1", "u1", "u2")} AS p2 FROM c1),
+      |c3 AS (SELECT *, ${hpClip("p2", "u2", "[0.0, 0.0]")} AS p3 FROM c2),
+      |contrib AS (
+      |  SELECT clubId, courseId, holeNumber, itemSeq, itemType,
+      |    CASE WHEN len(p3) < 3 THEN 0.0 ELSE sgn * 0.5 * list_reduce(
+      |      list_prepend(0.0, list_transform(generate_series(1, len(p3)), k ->
+      |        p3[CASE WHEN k = 1 THEN len(p3) ELSE k - 1 END][1] * p3[k][2]
+      |        - p3[k][1] * p3[CASE WHEN k = 1 THEN len(p3) ELSE k - 1 END][2])),
+      |      (acc, v) -> acc + v) END AS da
+      |  FROM c3)
+      |SELECT clubId, courseId, holeNumber, itemSeq, itemType,
+      |  CAST(floor(sum(da) * 1e12 + 0.5) AS BIGINT) AS clip_area_e12
+      |FROM contrib
+      |GROUP BY clubId, courseId, holeNumber, itemSeq, itemType
+      |HAVING CAST(floor(sum(da) * 1e12 + 0.5) AS BIGINT) >= 1""".stripMargin),
+
+    // the full draw list re-derived: boundary rows from the literal dim;
+    // polygon rows kept iff the item/boundary interiors truly intersect
+    // (any proper edge crossing, or one ring's first vertex strictly
+    // inside the other — the general-position equivalence of "clip
+    // non-empty"); line rows by per-vertex strict ray cast with >= 2
+    // survivors; marker rows by the q48 containment test; then the same
+    // (zorder, itemType, itemSeq) painter's order
+    "q44_drawlist" -> ("WITH " + clipCandsCtes + s""",
+      |crossed AS (
+      |  SELECT clubId, courseId, holeNumber, itemSeq, bool_or(
+      |    (((b2[1] - b1[1]) * (a1[2] - b1[2]) - (b2[2] - b1[2]) * (a1[1] - b1[1])) *
+      |     ((b2[1] - b1[1]) * (a2[2] - b1[2]) - (b2[2] - b1[2]) * (a2[1] - b1[1])) < 0)
+      |    AND
+      |    (((a2[1] - a1[1]) * (b1[2] - a1[2]) - (a2[2] - a1[2]) * (b1[1] - a1[1])) *
+      |     ((a2[1] - a1[1]) * (b2[2] - a1[2]) - (a2[2] - a1[2]) * (b2[1] - a1[1])) < 0)
+      |  ) AS any_cross
+      |  FROM pairs GROUP BY clubId, courseId, holeNumber, itemSeq),
+      |contained AS (
+      |  SELECT clubId, courseId, holeNumber, itemSeq,
+      |    (${pipExpr("iring[1][1]", "iring[1][2]", "bring")})
+      |    OR (${pipExpr("bring[1][1]", "bring[1][2]", "iring")}) AS inside
+      |  FROM cands),
+      |polys AS (
+      |  SELECT c.clubId, c.courseId, c.holeNumber, c.itemSeq, c.itemType, c.zorder,
+      |    'polygon' AS category
+      |  FROM cands c
+      |  JOIN crossed x USING (clubId, courseId, holeNumber, itemSeq)
+      |  JOIN contained n USING (clubId, courseId, holeNumber, itemSeq)
+      |  WHERE x.any_cross OR n.inside),
+      |bounds AS (
+      |  SELECT * FROM (VALUES $oracleBoundsValues)
+      |    AS b(clubId, courseId, holeNumber, minx, miny, maxx, maxy, ring)),
+      |lvals AS (
+      |  SELECT * FROM (VALUES $oracleLineValues)
+      |    AS l(clubId, courseId, holeNumber, itemSeq, itemType, zorder, pts)),
+      |lpts AS (
+      |  SELECT l.clubId, l.courseId, l.holeNumber, l.itemSeq, l.itemType, l.zorder,
+      |    gq.q AS q,
+      |    list_zip(list_prepend(b.ring[len(b.ring)], b.ring[1:len(b.ring)-1]), b.ring) AS prs
+      |  FROM lvals l, bounds b, unnest(l.pts) AS gq(q)
+      |  WHERE l.clubId = b.clubId AND l.courseId = b.courseId AND l.holeNumber = b.holeNumber),
+      |lines AS (
+      |  SELECT clubId, courseId, holeNumber, itemSeq, itemType, zorder, 'line' AS category
+      |  FROM lpts
+      |  WHERE len(list_filter(prs, pr ->
+      |      (pr[2][1] - pr[1][1]) * (q[2] - pr[1][2]) - (pr[2][2] - pr[1][2]) * (q[1] - pr[1][1]) = 0
+      |      AND q[1] >= least(pr[1][1], pr[2][1]) AND q[1] <= greatest(pr[1][1], pr[2][1])
+      |      AND q[2] >= least(pr[1][2], pr[2][2]) AND q[2] <= greatest(pr[1][2], pr[2][2]))) = 0
+      |    AND len(list_filter(prs, pr ->
+      |      ((pr[2][2] > q[2]) != (pr[1][2] > q[2]))
+      |      AND q[1] < (pr[1][1] - pr[2][1]) * (q[2] - pr[2][2]) / (pr[1][2] - pr[2][2]) + pr[2][1])) % 2 = 1
+      |  GROUP BY clubId, courseId, holeNumber, itemSeq, itemType, zorder
+      |  HAVING count(*) >= 2),
+      |markers AS (
+      |  SELECT * FROM (VALUES $oracleMarkerValues)
+      |    AS m(clubId, courseId, holeNumber, itemSeq, itemType, x, y)),
+      |mcand AS (
+      |  SELECT m.*,
+      |    list_zip(list_prepend(b.ring[len(b.ring)], b.ring[1:len(b.ring)-1]), b.ring) AS prs
+      |  FROM markers m JOIN bounds b USING (clubId, courseId, holeNumber)),
+      |marks AS (
+      |  SELECT clubId, courseId, holeNumber, itemSeq, itemType,
+      |    ${Catalog.items.filter(_.category == "marker").map(_.zorder).distinct.head} AS zorder,
+      |    'marker' AS category
+      |  FROM mcand
+      |  WHERE len(list_filter(prs, pr ->
+      |      (pr[2][1] - pr[1][1]) * (y - pr[1][2]) - (pr[2][2] - pr[1][2]) * (x - pr[1][1]) = 0
+      |      AND x >= least(pr[1][1], pr[2][1]) AND x <= greatest(pr[1][1], pr[2][1])
+      |      AND y >= least(pr[1][2], pr[2][2]) AND y <= greatest(pr[1][2], pr[2][2]))) = 0
+      |    AND len(list_filter(prs, pr ->
+      |      ((pr[2][2] > y) != (pr[1][2] > y))
+      |      AND x < (pr[1][1] - pr[2][1]) * (y - pr[2][2]) / (pr[1][2] - pr[2][2]) + pr[2][1])) % 2 = 1),
+      |allrows AS (
+      |  SELECT clubId, courseId, holeNumber, -1 AS itemSeq, 'HoleBoundary' AS itemType,
+      |    0 AS zorder, 'polygon' AS category FROM bounds
+      |  UNION ALL SELECT * FROM polys
+      |  UNION ALL SELECT * FROM lines
+      |  UNION ALL SELECT * FROM marks)
+      |SELECT clubId, courseId, holeNumber,
+      |  row_number() OVER (PARTITION BY clubId, courseId, holeNumber
+      |    ORDER BY zorder, itemType, itemSeq) AS draw_seq,
+      |  zorder, itemType, category
+      |FROM allrows""".stripMargin),
+
     // the flagship family, independently re-derived: DuckDB ray-casts the
     // literal boundary polygons with the engine's exact strict semantics,
     // with NO cover index involved — a cover bug (missing cell, wrong
@@ -1311,6 +1669,21 @@ object SparkEntry {
 
     "q42_pages_outside_all" -> (pagesCte + ",\n" + pipHitsCtes + "\n" +
       "SELECT lang, count(*) AS n FROM pages WHERE url NOT IN (SELECT url FROM hits) GROUP BY lang"),
+
+    // viewport math replayed on the literal envelope bounds with the
+    // engine's exact operation order; the two cos()-dependent columns and
+    // fig_h are compared on the 1e-6 quantum (see the q45 query comment)
+    "q45_viewports" ->
+      s"""WITH bounds AS (
+         |  SELECT * FROM (VALUES $oracleBoundsValues)
+         |    AS b(clubId, courseId, holeNumber, minx, miny, maxx, maxy, ring))
+         |SELECT clubId, courseId, holeNumber,
+         |  minx AS west, miny AS south, maxx AS east, maxy AS north,
+         |  round((maxx - minx) * 111000.0 * cos(radians((miny + maxy) / 2.0)) / 0.2 / 300.0, 6) AS fig_w_in,
+         |  round((maxy - miny) * 111000.0 / 0.2 / 300.0, 6) AS fig_h_in,
+         |  round(1.0 / cos(radians((miny + maxy) / 2.0)), 6) AS aspect,
+         |  15.0 AS marker_px
+         |FROM bounds""".stripMargin,
 
     // raster family: DuckDB re-derives every tile's 64-bit coverage mask
     // and the inverted tile index from the literal polygons — the engine's
@@ -1360,13 +1733,13 @@ object SparkEntry {
          |),
          |markers AS (
          |  SELECT * FROM (VALUES $oracleMarkerValues)
-         |    AS m(clubId, courseId, holeNumber, itemType, x, y)
+         |    AS m(clubId, courseId, holeNumber, itemSeq, itemType, x, y)
          |),
          |cand AS (
          |  SELECT m.*, list_zip(list_prepend(b.ring[len(b.ring)], b.ring[1:len(b.ring)-1]), b.ring) AS prs
          |  FROM markers m JOIN bounds b USING (clubId, courseId, holeNumber)
          |)
-         |SELECT clubId, courseId, holeNumber, itemType,
+         |SELECT clubId, courseId, holeNumber, itemSeq, itemType,
          |  CAST(${graft.pipeline.Catalog.items.filter(_.category == "marker").map(_.zorder).distinct.head} AS INT) AS zorder,
          |  x, y, ${dlit(graft.geom.Geom.MarkerSizeM / graft.geom.Geom.MetersPerPixel / 200.0)} AS marker_zoom
          |FROM cand

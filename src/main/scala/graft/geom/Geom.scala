@@ -237,15 +237,27 @@ object Geom {
     e
   }
 
-  /** Signed shoelace area (positive = CCW). Open or closed rings OK. */
+  /** Signed shoelace area (positive = CCW). Open or closed rings OK.
+    *
+    * Computed relative to the FIRST VERTEX (each term is a cross product
+    * of edge vectors from v0), not the raw coordinates: at lon ~ 116 a
+    * raw shoelace accumulates partial sums ~1e5 that cancel down to a
+    * ~1e-6 deg^2 area, losing ~10 significant digits to cancellation —
+    * the translated form keeps the area accurate to ~1 ulp of itself,
+    * which is what lets an independent re-derivation (the DuckDB clip
+    * oracle) agree to a fixed 1e-12 quantum. Mathematically identical
+    * (translation invariance of area). */
   def signedArea(ring: Array[Double]): Double = {
     val n = nPts(ring)
     if (n < 3) return 0.0
+    val x0 = ring(0); val y0 = ring(1)
     var s = 0.0
     var i = 0
     var j = n - 1
     while (i < n) {
-      s += (ring(2 * j) * ring(2 * i + 1)) - (ring(2 * i) * ring(2 * j + 1))
+      val xj = ring(2 * j) - x0; val yj = ring(2 * j + 1) - y0
+      val xi = ring(2 * i) - x0; val yi = ring(2 * i + 1) - y0
+      s += xj * yi - xi * yj
       j = i
       i += 1
     }

@@ -51,7 +51,13 @@ object CourseEngine {
     * observed metric (`<metricName>.n_unknown_items`, readable from
     * `df.queryExecution.observedMetrics` after any action), THEN filter
     * to the wanted category — unknown types are counted, never silently
-    * inner-joined away. */
+    * inner-joined away.
+    *
+    * CollectMetrics names must be unique WITHIN one resolved plan, so a
+    * query that composes the same public helper twice (e.g. a union of
+    * two clippedPolygons subtrees) must disambiguate via the helper's
+    * `metricName` parameter — same-name composition throws
+    * AnalysisException at analysis time, never silently miscounts. */
   private def catalogJoin(withBounds: DataFrame, category: String,
                           metricName: String): DataFrame =
     withBounds
@@ -60,39 +66,66 @@ object CourseEngine {
         sum(when(col("category").isNull, 1L).otherwise(0L)).as("n_unknown_items"))
       .filter(col("category") === category)
 
+  /** Translate every vertex of a polygon (ARRAY<ARRAY<STRUCT<x,y>>>). */
+  private def translatePoly(p: Column, dx: Column, dy: Column): Column =
+    transform(p, ring => transform(ring,
+      pt => struct((pt("x") + dx).as("x"), (pt("y") + dy).as("y"))))
+
   /** Polygon items clipped to the boundary — J1/U3 (plot_courses.py:258-264
     * via utils.py:55-66): smooth+close+polygonize the item, intersect with
     * boundary, drop empty/invalid (null) results; keep items with >=3
-    * in-boundary vertices (P6). */
-  def clippedPolygons(items: DataFrame, bounds: DataFrame): DataFrame =
-    catalogJoin(itemsWithBoundary(items, bounds), "polygon", "unknown_items_polygon")
+    * in-boundary vertices (P6).
+    *
+    * The intersection runs in a BOUNDARY-LOCAL FRAME (both rings
+    * translated by the boundary's first vertex): at lon ~ 116 the clip
+    * arithmetic's crossing points carry ~1e-14 absolute error, while in
+    * the local frame (coords ~1e-3) the same ops are accurate to ~1e-19 —
+    * the difference between a clip area reproducible by an independent
+    * engine to a 1e-12 quantum and one that drifts at 1e-10. The output
+    * geometry is translated back (a <=1-ulp-of-longitude effect,
+    * irrelevant to rendering); `clip_area` is measured in the local
+    * frame. */
+  def clippedPolygons(items: DataFrame, bounds: DataFrame,
+                      metricName: String = "unknown_items_polygon"): DataFrame = {
+    val b0x = col("boundary").getItem(0).getItem(0).getField("x")
+    val b0y = col("boundary").getItem(0).getItem(0).getField("y")
+    catalogJoin(itemsWithBoundary(items, bounds), "polygon", metricName)
       .filter(size(col("shape")) > 2)                         // P6 polygons >= 3
       .withColumn("poly", make_polygon(closed_ring(gaussian_smooth(col("shape"), lit(1.0)))))
       .filter(col("poly").isNotNull)
-      .withColumn("clipped", st_intersection(col("poly"), col("boundary")))
-      .filter(col("clipped").isNotNull)                       // empty/invalid -> dropped (:260)
-      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemType"),
-        col("zorder"), col("clipped"), st_area(col("clipped")).as("clip_area"))
+      .withColumn("b0x", b0x).withColumn("b0y", b0y)
+      .withColumn("clippedT", st_intersection(
+        translatePoly(col("poly"), -col("b0x"), -col("b0y")),
+        translatePoly(col("boundary"), -col("b0x"), -col("b0y"))))
+      .filter(col("clippedT").isNotNull)                      // empty/invalid -> dropped (:260)
+      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemSeq"),
+        col("itemType"), col("zorder"),
+        translatePoly(col("clippedT"), col("b0x"), col("b0y")).as("clipped"),
+        st_area(col("clippedT")).as("clip_area"))
+  }
 
   /** Line items vertex-filtered to the boundary — P8 (plot_courses.py:
     * 242-244): keep only vertices strictly inside; keep lines with >= 2
     * surviving vertices (P6). NOT a geometric clip — segments crossing the
     * boundary are joined, matching the reference's vertex-drop semantics. */
-  def clippedLines(items: DataFrame, bounds: DataFrame): DataFrame =
-    catalogJoin(itemsWithBoundary(items, bounds), "line", "unknown_items_line")
+  def clippedLines(items: DataFrame, bounds: DataFrame,
+                   metricName: String = "unknown_items_line"): DataFrame =
+    catalogJoin(itemsWithBoundary(items, bounds), "line", metricName)
       .withColumn("inside",
         expr("filter(shape, p -> st_contains(boundary, p.x, p.y))"))
       .filter(size(col("inside")) > 1)                        // P6 lines >= 2 (:243)
-      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemType"),
-        col("zorder"), col("color"), col("lineWidth"), col("inside").as("line"))
+      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemSeq"),
+        col("itemType"), col("zorder"), col("color"), col("lineWidth"),
+        col("inside").as("line"))
 
   /** Markers kept only if strictly inside the boundary — P9
     * (plot_courses.py:148-151), with pixel placement math (F6). */
-  def markers(items: DataFrame, bounds: DataFrame): DataFrame =
-    catalogJoin(itemsWithBoundary(items, bounds), "marker", "unknown_items_marker")
+  def markers(items: DataFrame, bounds: DataFrame,
+              metricName: String = "unknown_items_marker"): DataFrame =
+    catalogJoin(itemsWithBoundary(items, bounds), "marker", metricName)
       .filter(size(col("shape")) === 1)
-      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemType"),
-        col("zorder"),
+      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemSeq"),
+        col("itemType"), col("zorder"),
         col("shape").getItem(0).getField("x").as("x"),
         col("shape").getItem(0).getField("y").as("y"),
         col("boundary"))
@@ -106,21 +139,28 @@ object CourseEngine {
   def drawList(items: DataFrame, bounds: DataFrame): DataFrame = {
     val spark = items.sparkSession
     val b = bounds.select(col("clubId"), col("courseId"), col("holeNumber"),
-      lit("HoleBoundary").as("itemType"), lit(0).as("zorder"),
+      lit(-1).as("itemSeq"), lit("HoleBoundary").as("itemType"), lit(0).as("zorder"),
       to_json(col("boundary")).as("geometry"), lit("polygon").as("category"))
     val polys = clippedPolygons(items, bounds)
-      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemType"),
-        col("zorder"), to_json(col("clipped")).as("geometry"), lit("polygon").as("category"))
+      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemSeq"),
+        col("itemType"), col("zorder"), to_json(col("clipped")).as("geometry"),
+        lit("polygon").as("category"))
     val lines = clippedLines(items, bounds)
-      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemType"),
-        col("zorder"), to_json(col("line")).as("geometry"), lit("line").as("category"))
+      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemSeq"),
+        col("itemType"), col("zorder"), to_json(col("line")).as("geometry"),
+        lit("line").as("category"))
     val marks = markers(items, bounds)
-      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemType"),
-        col("zorder"), to_json(struct(col("x"), col("y"))).as("geometry"),
+      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemSeq"),
+        col("itemType"), col("zorder"), to_json(struct(col("x"), col("y"))).as("geometry"),
         lit("marker").as("category"))
     val all = b.unionByName(polys).unionByName(lines).unionByName(marks)
+    // tiebreak within (zorder, itemType) by the item's stable position in
+    // the hole's gpsItems (the boundary sorts first at -1) — a key an
+    // independent engine can reproduce, unlike the serialized-geometry
+    // string it replaces (GH piece vertex order is an implementation
+    // detail no oracle should have to match)
     val w = Window.partitionBy(holeKey.map(col): _*)
-      .orderBy(col("zorder"), col("itemType"), col("geometry"))
+      .orderBy(col("zorder"), col("itemType"), col("itemSeq"))
     all.withColumn("draw_seq", row_number().over(w))
   }
 

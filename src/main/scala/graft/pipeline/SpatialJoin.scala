@@ -222,7 +222,8 @@ object SpatialJoin {
    * Exact = matches brute force at every stage, verified in tests.
    */
   def knnCourses(pagesIn: DataFrame, bounds: DataFrame, k: Int,
-                 level: Int = 11, radius: Int = 3): DataFrame = {
+                 level: Int = 11, radius: Int = 3,
+                 maxLocalRows: Int = 1 << 20): DataFrame = {
     // project the probe stream to the three columns the algorithm needs
     // BEFORE the first window: carrying html/text through the rank
     // exchange would shuffle the payload bytes for nothing
@@ -271,17 +272,19 @@ object SpatialJoin {
         .withColumn("cell", cell_id(col("lon"), col("lat"), lit(level)))
         .join(broadcast(expanded), "cell"),
       radius)
-    // localized: uncertain sets are TINY by construction (the certificate
-    // covers the dense common case), but each feeds TWO branches (its
-    // stage's candidates and the next stage's anti-join) — without a
-    // materialization point, every downstream branch would re-evaluate
-    // the whole upstream stage, multiplying full pages-table passes at
-    // 10^12-row scale. LocalRelation (not persist): nothing is pinned in
-    // the session CacheManager across calls, and the rows are (url, lon,
-    // lat) only. A deployment expecting LARGE uncertain sets (pathological
-    // radius/level choices) would swap this for persist + unpersist.
-    val uncertain1 = graft.sources.Storage.localize(pages.join(
-      cert1.select(col("url")).distinct(), Seq("url"), "left_anti"))
+    // materialized: uncertain sets are TINY by construction (the
+    // certificate covers the dense common case), but each feeds TWO
+    // branches (its stage's candidates and the next stage's anti-join) —
+    // without a materialization point, every downstream branch would
+    // re-evaluate the whole upstream stage, multiplying full pages-table
+    // passes at 10^12-row scale. The SIZE-GATED localize keeps the common
+    // case a LocalRelation (nothing pinned in the CacheManager, rows are
+    // (url, lon, lat) only) while a polar-heavy slice or mischosen
+    // level/radius — where the certificate certifies nothing and the
+    // uncertain set approaches the whole input — falls back to persist()
+    // instead of collecting an unbounded set onto the driver.
+    val uncertain1 = graft.sources.Storage.localizeOrPersist(pages.join(
+      cert1.select(col("url")).distinct(), Seq("url"), "left_anti"), maxLocalRows)
 
     // stage 2: page-side disk expansion at 4x radius against the
     // single-cell centroid dim
@@ -293,8 +296,8 @@ object SpatialJoin {
         .withColumn("cell", explode(disk_cells(cell_id(col("lon"), col("lat"), lit(level)), lit(r2))))
         .join(broadcast(centCells), "cell"),
       r2)
-    val uncertain2 = graft.sources.Storage.localize(uncertain1.join(
-      cert2.select(col("url")).distinct(), Seq("url"), "left_anti"))
+    val uncertain2 = graft.sources.Storage.localizeOrPersist(uncertain1.join(
+      cert2.select(col("url")).distinct(), Seq("url"), "left_anti"), maxLocalRows)
 
     // stage 3: exact brute tail, size surfaced as an observed metric so
     // tests (and production monitors) can assert it stays tiny

@@ -37,6 +37,27 @@ object Storage {
   def localize(df: DataFrame): DataFrame =
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  /**
+   * Size-gated [[localize]] for multi-consumer intermediates whose size is
+   * DISTRIBUTIONAL, not structural (e.g. kNN's uncertain-page slices: tiny
+   * in the common case, but a polar-heavy crawl slice or a mischosen
+   * level/radius can make one approach the whole input). The driver never
+   * collects an unbounded set: a `limit(maxLocalRows + 1)` probe collects
+   * at most maxLocalRows + 1 rows — if everything arrived, that IS the
+   * relation and it becomes a LocalRelation (nothing pinned in the
+   * CacheManager); otherwise the frame is persist()ed instead, trading a
+   * CacheManager entry for driver safety. Callers on the persist path own
+   * the lifetime (for a within-query intermediate the entry dies with the
+   * session; a long-lived service would unpersist after the action).
+   */
+  def localizeOrPersist(df: DataFrame, maxLocalRows: Int): DataFrame = {
+    val probe = df.limit(maxLocalRows + 1).collect()
+    if (probe.length <= maxLocalRows)
+      df.sparkSession.createDataFrame(java.util.Arrays.asList(probe: _*), df.schema)
+    else
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 }
 
 /**
@@ -110,18 +131,25 @@ object Snapshots {
       Files.writeString(tmp,
         s"""{"snapshot_id":$id,"ts_ms":${System.currentTimeMillis()},""" +
           s""""dirs":[${live.map("\"" + _ + "\"").mkString(",")}]}""")
+      // the tmp manifest never outlives the attempt, whatever the outcome
       try {
         Files.createLink(manifestDir(tableDir).resolve(s"v$id.json"), tmp)
-        Files.deleteIfExists(tmp)
         return id
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp)
           attempt += 1
           if (attempt >= maxRetries)
             throw new IllegalStateException(
               s"snapshot commit lost $maxRetries races at $tableDir — aborting (data dir $dataDir is orphaned, not visible)")
-      }
+        case e @ (_: UnsupportedOperationException | _: SecurityException) =>
+          // filesystem without hard links: fail with an actionable error
+          // instead of leaking the raw exception (ATOMIC_MOVE is NOT a
+          // safe fallback — a rename silently REPLACES a racing winner's
+          // manifest, which is exactly the lost-commit this link prevents)
+          throw new IllegalStateException(
+            s"snapshot commit needs hard-link support at ${manifestDir(tableDir)} " +
+              s"(atomic create-if-absent); move the table to a posix filesystem", e)
+      } finally Files.deleteIfExists(tmp)
     }
     -1L // unreachable
   }
@@ -130,8 +158,11 @@ object Snapshots {
     spark.read.parquet(s.dirs.map(d => s"$tableDir/$d"): _*)
 
   /** Latest committed snapshot. */
-  def read(spark: SparkSession, tableDir: String): DataFrame =
-    readDirs(spark, tableDir, snapshots(tableDir).last)
+  def read(spark: SparkSession, tableDir: String): DataFrame = {
+    val all = snapshots(tableDir)
+    require(all.nonEmpty, s"no snapshots at $tableDir — commit() one first")
+    readDirs(spark, tableDir, all.last)
+  }
 
   /** `VERSION AS OF` — the exact snapshot id. */
   def readVersionAsOf(spark: SparkSession, tableDir: String, id: Long): DataFrame = {

@@ -135,18 +135,27 @@ object Warc {
 
   /** All records of every `*.warc` / `*.warc.gz` under `path`, as a typed
     * Dataset (the flatMap is Dataset-typed, not an RDD — input_hint
-    * mandate). Gzip decompression is STREAMED through the record parser:
-    * the decompressed segment never exists as one array (a ~1 GB crawl
-    * segment inflates past the 2 GB JVM array limit). */
+    * mandate). The file BYTES are streamed too, not just the gzip
+    * decompression: only `path` rides the binaryFile scan (column pruning
+    * keeps `content` out of the plan), and each task opens its file with
+    * a Hadoop `FileSystem` input stream inside the flatMap — so a task's
+    * memory is O(buffer), not O(segment), and files past Spark's ~2 GB
+    * binaryFile row limit (a real ~1 GB `.warc.gz` is routine for Common
+    * Crawl) parse fine. One file = one task, matching how CC segments are
+    * the unit of parallelism. */
   def read(spark: SparkSession, path: String): Dataset[WarcRecord] = {
     import spark.implicits._
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
     spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.warc*")
       .load(path)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) =>
-        val raw = new java.io.ByteArrayInputStream(bytes)
+      .select(col("path"))
+      .as[String]
+      .flatMap { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val raw = new java.io.BufferedInputStream(
+          hp.getFileSystem(conf.value).open(hp), 1 << 16)
         parseStream(
           if (p.endsWith(".gz"))
             new java.io.BufferedInputStream(
@@ -155,22 +164,47 @@ object Warc {
       }
   }
 
+  /** WARC `response` payloads are full HTTP messages (status line +
+    * headers + CRLFCRLF + body). Returns the body bytes when the record
+    * declares an HTTP payload (`Content-Type: application/http...`, the
+    * Common Crawl convention) and a header terminator exists; the raw
+    * payload otherwise. Pure byte slicing — never decodes. */
+  def httpBody(payload: Array[Byte], contentType: String): Array[Byte] = {
+    if (!contentType.startsWith("application/http")) return payload
+    var i = 0
+    while (i + 3 < payload.length) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+          payload(i + 2) == '\r' && payload(i + 3) == '\n')
+        return java.util.Arrays.copyOfRange(payload, i + 4, payload.length)
+      i += 1
+    }
+    payload
+  }
+
   /**
    * WARC responses -> the BASELINE.json `input_hint` pages shape
-   * `(url, warc_ts, html, text, lang)`. `html` is the byte-exact payload
-   * (the invariant column); `text`/`lang` here are the ingest-time
-   * identity/unknown placeholders a real pipeline fills with its
-   * extractor + the langid operator (q24's expression over this very
-   * column) — the SCHEMA contract is what downstream operators bind to.
+   * `(url, warc_ts, html, text, lang)`. `html` is the byte-exact HTTP
+   * BODY (the invariant column) — the status line + header block is
+   * stripped via [[httpBody]] when the record declares an HTTP payload,
+   * because "html" meaning "response headers included" would silently
+   * poison every downstream text operator. `text`/`lang` here are the
+   * ingest-time placeholders a real pipeline fills with its extractor +
+   * the langid operator (q24's expression over this very column) — the
+   * SCHEMA contract is what downstream operators bind to. `text` replaces
+   * invalid UTF-8 (a cast, documented lossy); `html` never does.
    */
-  def toPages(records: Dataset[WarcRecord]): DataFrame =
-    records.filter(_.warcType == "response").toDF()
+  def toPages(records: Dataset[WarcRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.filter(_.warcType == "response")
+      .map(r => (r.targetUri, r.warcDate, httpBody(r.payload, r.contentType)))
+      .toDF("url", "warcDate", "html")
       .select(
-        col("targetUri").as("url"),
+        col("url"),
         to_timestamp(col("warcDate")).as("warc_ts"),
-        col("payload").as("html"),
-        col("payload").cast("string").as("text"),
+        col("html"),
+        col("html").cast("string").as("text"),
         lit("und").as("lang"))
+  }
 
   /** Serialize records back to WARC bytes (round-trip fixture writer). */
   def writeWarc(records: Seq[WarcRecord]): Array[Byte] = {

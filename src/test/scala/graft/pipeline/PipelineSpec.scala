@@ -131,6 +131,30 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("oracle clip candidates (pure-JVM) replay the engine's gating + areas bit-exactly") {
+    // candidate set ⊇ engine survivors; a candidate survives iff the
+    // kernel's intersection is non-null; surviving areas are bit-identical
+    // to the engine's clip_area column (same local-frame kernel calls)
+    val items = Courses.itemsDf(spark, SparkEntry.NCourses)
+    val engine = CourseEngine.clippedPolygons(items, bounds)
+      .select($"clubId", $"courseId", $"holeNumber", $"itemSeq", $"clip_area").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4))
+      .toMap
+    val candSurvivors = SparkEntry.oracleClipCands.flatMap {
+      case (cl, co, h, seq, _, _, iring, bring) =>
+        val pieces = Geom.intersectionPieces(iring, bring)
+        if (pieces == null) None
+        else Some((cl, co, h, seq) -> pieces.map(Geom.area).sum)
+    }.toMap
+    assert(candSurvivors.keySet == engine.keySet,
+      s"survivor sets differ: onlyOracle=${(candSurvivors.keySet -- engine.keySet).take(3)} " +
+        s"onlyEngine=${(engine.keySet -- candSurvivors.keySet).take(3)}")
+    candSurvivors.foreach { case (k, a) =>
+      assert(a == engine(k), s"clip_area differs for $k: jvm=$a engine=${engine(k)}")
+    }
+    assert(engine.nonEmpty)
+  }
+
   test("unknown itemType: warn metric counts it, output drops it (P5)") {
     val items = Courses.itemsDf(spark, 3)
     val planted = items.unionByName(
@@ -193,6 +217,14 @@ class PipelineSpec extends AnyFunSuite {
     val brute = knn.queryExecution.observedMetrics.get("knn_brute")
       .map(_.getAs[Long]("n_brute_rows")).getOrElse(0L)
     assert(brute == 80L, s"expected all-brute at the pole, got $brute")
+    // the uncertain-slice materialization is SIZE-GATED (r2 advice: a
+    // polar-heavy slice must never be collect()ed unbounded onto the
+    // driver): force the gate to its persist() fallback and require
+    // identical results — the driver-side LocalRelation is an
+    // optimization, never a correctness dependency
+    val gated = SpatialJoin.knnCourses(pages, b, k = 2, maxLocalRows = 1).collect()
+      .map(r => (r.getString(0), r.getString(3), r.getString(4), r.getInt(5), r.getInt(7))).toSet
+    assert(gated == expected, "persist-path kNN diverged from localize-path kNN")
   }
 
   test("kNN brute tail stays tiny (observed metric bounds the fallback)") {

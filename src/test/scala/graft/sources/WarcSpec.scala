@@ -96,8 +96,17 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.exists(_.getString(0) == "https://c.example.org/p3"),
       "second gzip member's record must survive (multi-member stream)")
     val p1 = rows.find(_.getString(0) == "https://a.example.org/p1").get
-    assert(p1.getAs[Array[Byte]](2).toSeq === trickyPayload.toSeq,
-      "html must carry the exact payload bytes through the pipeline")
+    // html = the byte-exact HTTP BODY: the status line + header block up
+    // to the FIRST CRLFCRLF is stripped (r2 advice — a "html" column that
+    // still carries response headers poisons every text operator); the
+    // tricky tail (raw non-UTF8 bytes + embedded CRLFCRLF) must survive
+    val body = trickyPayload.drop(
+      trickyPayload.toSeq.indexOfSlice(Seq[Byte](13, 10, 13, 10)) + 4)
+    assert(p1.getAs[Array[Byte]](2).toSeq === body.toSeq,
+      "html must carry the exact HTTP body bytes through the pipeline")
+    // a response payload WITHOUT a header terminator passes through raw
+    val p2 = rows.find(_.getString(0) == "https://b.example.org/p2").get
+    assert(p2.getAs[Array[Byte]](2).toSeq === "plain text page".getBytes(UTF_8).toSeq)
     assert(p1.getTimestamp(1) === java.sql.Timestamp.from(
       java.time.Instant.parse("2025-03-01T01:02:03Z")))
   }
