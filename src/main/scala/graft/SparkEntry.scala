@@ -679,6 +679,19 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim"))
     }),
 
+    "q62_ann_ivf_kmeans" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // IVF with a TRAINED quantizer: 2 k-means iterations over the
+      // id-sample seed (exact quantized-mean accumulation — centroids
+      // bit-identical at any parallelism; DuckDB replays both iterations)
+      val emb = t(s, d, "embeddings")
+      val queriesDf = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      graft.pipeline.Ann.ivfTopK(emb, queriesDf, k = 10, nLists = 32, nProbe = 4,
+          trainIters = 2)
+        .select(col("query_id"), col("rank"), col("vec_id"))
+    }),
+
     "q36_ann_ivf" -> ((s, d) => {
       graft.functions.registerAll(s)
       // IVF-style ANN: probe the 4 nearest of 32 inverted lists, exact
@@ -825,6 +838,49 @@ object SparkEntry {
       CourseEngine.priorityOrder(boundsDf(s), Q50Priority)
         .select(col("clubId"), col("courseId"), col("holeNumber"), col("prio"))
         .limit(50)
+    }),
+
+    // ---- S1: the JSONL course-layout scan driven end-to-end (write the
+    // reference-shaped fixture, read it back through the explicit-schema
+    // scan, flatten, aggregate per hole; DuckDB re-reads the same files
+    // with its own JSON reader) ----
+    "q59_jsonl_scan" -> ((s, d) => {
+      val path = graft.data.Fixtures.jsonlDir(s, NCourses)
+      val xs = transform(col("shape"), p => p("x"))
+      val ys = transform(col("shape"), p => p("y"))
+      Courses.itemsFromLayouts(Courses.readLayouts(s, path))
+        .groupBy(col("clubId"), col("courseId"), col("holeNumber"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(size(col("shape")).cast("long")).as("n_points"),
+          min(array_min(xs)).as("min_x"), max(array_max(xs)).as("max_x"),
+          min(array_min(ys)).as("min_y"), max(array_max(ys)).as("max_y"))
+    }),
+
+    // ---- WARC ingest driven end-to-end: parse the fixture segment and
+    // fingerprint every payload; the oracle slices the RAW FILE BYTES at
+    // serializer-derived offsets (a CDX-style index), so each record
+    // boundary the parser found is checked against an independent read ----
+    "q60_warc_scan" -> ((s, d) => {
+      val dir = graft.data.Fixtures.warcDir()
+      graft.sources.Warc.read(s, dir).toDF()
+        .select(col("warcType").as("warc_type"), col("targetUri").as("url"),
+          col("recordId").as("record_id"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          md5(hex(col("payload"))).as("payload_md5"))
+    }),
+
+    // ---- snapshot time-travel driven end-to-end: rebuild a two-commit
+    // table (full nation, then a fast-append of the <10 slice) and read
+    // BOTH versions; the oracle recomputes each version's expected live
+    // set from the nation table itself ----
+    "q61_snapshots" -> ((s, d) => {
+      val dir = graft.data.Fixtures.snapshotTable(s, d)
+      def at(v: Long) = graft.sources.Snapshots.readVersionAsOf(s, dir, v)
+        .groupBy().agg(count(lit(1)).as("n_rows"),
+          sum(col("n_nationkey").cast("long")).as("sum_keys"))
+        .withColumn("version", lit(v))
+      at(1L).unionByName(at(2L))
+        .select(col("version"), col("n_rows"), col("sum_keys"))
     })
   )
 
@@ -1005,6 +1061,14 @@ object SparkEntry {
       }
     }.mkString(",")
 
+  /** q60's CDX-style payload index as VALUES literals — offsets come from
+    * the fixture SERIALIZER ([[graft.data.Fixtures.warcPayloadIndex]]),
+    * never from the parser under test. */
+  private lazy val oracleWarcIndexValues: String =
+    graft.data.Fixtures.warcPayloadIndex().map { case (r, off, len) =>
+      s"('${r.warcType}','${r.targetUri}','${r.recordId}',$off,$len)"
+    }.mkString(",")
+
   /** q31's hyperplane-LSH weights as VALUES literals — pure DATA-INDEPENDENT
     * constants (`TextOps.hyperplaneLsh`'s mix64 stream for 4 tables x 8
     * bits over the 64-dim embeddings), so emitting them leaves every
@@ -1026,6 +1090,34 @@ object SparkEntry {
   private def orderedSum(arr: String, f: String => String): String =
     s"""list_reduce(list_prepend(0.0, list_transform(generate_series(1, len($arr)), i ->
        |      ${f("i")})), (acc, v) -> acc + v)""".stripMargin
+
+  /** `TextOps.cosineSim` replayed exactly (double folds in index order,
+    * zero-norm -> 0) over two float-array SQL expressions. */
+  private def cosSqlExpr(a: String, b: String): String = {
+    val dot = orderedSum(a, i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+    val na = orderedSum(a, i => s"CAST($a[$i] AS DOUBLE) * CAST($a[$i] AS DOUBLE)")
+    val nb = orderedSum(b, i => s"CAST($b[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+    s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE $dot / (sqrt($na) * sqrt($nb)) END)"
+  }
+
+  /** One k-means iteration in SQL: argmax assignment of every vector to
+    * `cPrev`'s nearest centroid (exact cosine replay, ties to smallest
+    * list), then the quantized per-(list, dim) mean — producing `aNew`
+    * (assignment) and `cNew` (REAL centroid arrays). */
+  private def kmeansIterCtes(cPrev: String, aNew: String, mNew: String, cNew: String): String =
+    s"""$aNew AS (
+       |  SELECT vec_id, embedding, list_id FROM (
+       |    SELECT e.vec_id, e.embedding, c.list_id,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${cosSqlExpr("e.embedding", "c.cvec")} DESC, c.list_id) AS rn
+       |    FROM embeddings e CROSS JOIN $cPrev c) WHERE rn = 1),
+       |$mNew AS (
+       |  SELECT list_id, g.p AS pos,
+       |    CAST(sum(floor(CAST(embedding[g.p] AS DOUBLE) * 1048576.0 + 0.5))
+       |      / count(*) / 1048576.0 AS REAL) AS c
+       |  FROM $aNew, unnest(generate_series(1, len(embedding))) AS g(p)
+       |  GROUP BY list_id, g.p),
+       |$cNew AS (SELECT list_id, list(c ORDER BY pos) AS cvec FROM $mNew GROUP BY list_id)""".stripMargin
 
   /** DuckDB Sutherland–Hodgman half-plane clip of point-list column `p`
     * by the directed edge `e1 -> e2` (inside = left); `e1`/`e2` are SQL
@@ -1294,9 +1386,11 @@ object SparkEntry {
         |FROM documents GROUP BY text""".stripMargin,
 
     // session_window replay: session = maximal run of events whose gap to
-    // the previous is < 30 min (Spark starts a NEW session at diff >= gap
-    // — windows are [ts, ts+gap) and merge only on strict overlap);
-    // session_end = last event + gap
+    // the previous is <= 30 min. Spark MERGES ADJACENT windows — next
+    // start == current end, i.e. diff == gap, still merges — so a new
+    // session starts only at diff STRICTLY > gap (pinned empirically by
+    // StreamingSpec's adversarial-timestamp property fuzz, which caught
+    // the >= form this replay originally used); session_end = last + gap
     "q58_session_window" ->
       """SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events
@@ -1305,7 +1399,7 @@ object SparkEntry {
         |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
         |  FROM (
         |    SELECT user_id, ts, event_id,
-        |      CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) >= 1800000000
+        |      CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
         |        THEN 1 ELSE 0 END AS new_sess
         |    FROM (
         |      SELECT user_id, ts, event_id,
@@ -1475,6 +1569,38 @@ object SparkEntry {
          |      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END DESC,
          |      vec_id) AS rank
          |  FROM sims)
+         |WHERE rank <= 10""".stripMargin,
+
+    // trained-quantizer IVF, FULLY replayed: the id-sample seed, BOTH
+    // k-means iterations (exact-cosine argmax assignment + quantized-mean
+    // centroid update — both engines compute bit-identical centroids by
+    // construction), the probes, and the final ranks
+    "q62_ann_ivf_kmeans" ->
+      s"""WITH c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS list_id, embedding AS cvec
+         |  FROM (SELECT vec_id, embedding FROM embeddings
+         |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32)),
+         |${kmeansIterCtes("c0", "a1", "m1", "c1")},
+         |${kmeansIterCtes("c1", "a2", "m2", "c2")},
+         |a3 AS (
+         |  SELECT vec_id, embedding, list_id FROM (
+         |    SELECT e.vec_id, e.embedding, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${cosSqlExpr("e.embedding", "c.cvec")} DESC, c.list_id) AS rn
+         |    FROM embeddings e CROSS JOIN c2 c) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 8),
+         |probes AS (
+         |  SELECT query_id, qvec, list_id FROM (
+         |    SELECT q.query_id, q.qvec, c.list_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosSqlExpr("q.qvec", "c.cvec")} DESC, c.list_id) AS prnk
+         |    FROM q CROSS JOIN c2 c) WHERE prnk <= 4)
+         |SELECT query_id, rank, vec_id FROM (
+         |  SELECT p.query_id, a.vec_id,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY ${cosSqlExpr("a.embedding", "p.qvec")} DESC, a.vec_id) AS rank
+         |  FROM probes p JOIN a3 a USING (list_id)
+         |  WHERE a.vec_id <> p.query_id)
          |WHERE rank <= 10""".stripMargin,
 
     // full IVF replay: md5-ordered centroid sample, argmax list assignment
@@ -1836,6 +1962,50 @@ object SparkEntry {
         |  CAST(sum(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)) AS BIGINT) AS total_tokens,
         |  round(CAST(sum(CAST(length(text) AS BIGINT)) AS DOUBLE) / count(*), 6) AS avg_chars
         |FROM documents GROUP BY source""".stripMargin,
+
+    // S1 JSONL scan: DuckDB's own JSON reader over the same fixture files
+    "q59_jsonl_scan" ->
+      s"""WITH t AS (
+         |  SELECT * FROM read_json('${graft.data.Fixtures.Root}/layouts_jsonl/*.json')),
+         |h AS (
+         |  SELECT clubId, courseId, g.hn AS holeNumber, t.holes[g.hn] AS hole
+         |  FROM t, unnest(generate_series(1, len(t.holes))) AS g(hn))
+         |SELECT clubId, courseId, CAST(holeNumber AS INT) AS holeNumber,
+         |  CAST(len(hole.gpsItems) AS BIGINT) AS n_items,
+         |  CAST(list_reduce(list_prepend(0, list_transform(hole.gpsItems,
+         |    it -> len(it.shape))), (a, b) -> a + b) AS BIGINT) AS n_points,
+         |  list_aggregate(flatten(list_transform(hole.gpsItems,
+         |    it -> list_transform(it.shape, p -> p.longitude))), 'min') AS min_x,
+         |  list_aggregate(flatten(list_transform(hole.gpsItems,
+         |    it -> list_transform(it.shape, p -> p.longitude))), 'max') AS max_x,
+         |  list_aggregate(flatten(list_transform(hole.gpsItems,
+         |    it -> list_transform(it.shape, p -> p.latitude))), 'min') AS min_y,
+         |  list_aggregate(flatten(list_transform(hole.gpsItems,
+         |    it -> list_transform(it.shape, p -> p.latitude))), 'max') AS max_y
+         |FROM h""".stripMargin,
+
+    // WARC ingest: slice the raw file bytes at the serializer-derived
+    // offsets and fingerprint — every parser-found record boundary is
+    // cross-checked against an independent byte read
+    "q60_warc_scan" ->
+      s"""WITH idx AS (
+         |  SELECT * FROM (VALUES $oracleWarcIndexValues)
+         |    AS i(warc_type, url, record_id, payload_off, len_b)),
+         |blob AS (
+         |  SELECT content FROM read_blob('${graft.data.Fixtures.Root}/warc/seg-00000.warc'))
+         |SELECT warc_type, url, record_id, CAST(len_b AS BIGINT) AS n_bytes,
+         |  md5(substring(hex(b.content), payload_off * 2 + 1, len_b * 2)) AS payload_md5
+         |FROM idx, blob b""".stripMargin,
+
+    // snapshot time-travel: each version's live set recomputed from the
+    // source table (v1 = full nation; v2 = v1 + the appended <10 slice)
+    "q61_snapshots" ->
+      """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_keys FROM nation
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(n_nationkey) AS BIGINT) FROM (
+        |  SELECT n_nationkey FROM nation
+        |  UNION ALL SELECT n_nationkey FROM nation WHERE n_nationkey < 10)""".stripMargin,
 
     "q39_md5_hamming" ->
       """WITH h AS (

@@ -1,0 +1,99 @@
+package graft.data
+
+import org.apache.spark.sql.SparkSession
+import graft.sources.Warc
+
+/**
+ * Deterministic on-disk fixtures for the driver-visible SOURCE queries
+ * (q59 JSONL scan, q60 WARC ingest, q61 snapshot time-travel). Each
+ * builder rewrites its fixture on every call — content is a pure function
+ * of the seed, so the driver's Verify run and the DuckDB oracle (which
+ * reads the same absolute path) always see identical bytes, and a stale
+ * directory from an earlier round can't leak in.
+ */
+object Fixtures {
+
+  /** Fixed absolute root: the oracle SQL strings must name the same path
+    * the engine wrote, regardless of either process's cwd. */
+  val Root = "/tmp/graft_fixtures"
+
+  // -------------------------------------------------------------------
+  // q59 — reference-shaped JSONL course layouts (S1's real input format,
+  // plot_courses.py:327-339; the file itself is absent from the reference
+  // repo, .MISSING_LARGE_BLOBS:1)
+  // -------------------------------------------------------------------
+  def jsonlDir(spark: SparkSession, nCourses: Int): String = {
+    val dir = s"$Root/layouts_jsonl"
+    Courses.writeJsonl(spark, dir, nCourses)
+    dir
+  }
+
+  // -------------------------------------------------------------------
+  // q60 — WARC segment with adversarial payloads (embedded CRLFCRLF,
+  // non-UTF8 bytes, zero-padded sizes): only a Content-Length parser
+  // recovers the exact payload bytes the offset index points at.
+  // -------------------------------------------------------------------
+  def warcRecords(n: Int = 24, seed: Long = 7L): Seq[Warc.WarcRecord] = {
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map { i =>
+      val payload = new Array[Byte](8 + rnd.nextInt(160))
+      rnd.nextBytes(payload)
+      // plant the record separator inside the payload — a delimiter-based
+      // parser mis-splits here and every downstream offset shifts
+      payload(0) = '\r'; payload(1) = '\n'; payload(2) = '\r'; payload(3) = '\n'
+      Warc.WarcRecord(
+        if (i % 4 == 0) "request" else "response",
+        s"https://w$i.example.org/p$i",
+        f"2025-04-${i % 9 + 1}%02dT${i % 10}%02d:00:00Z",
+        s"<urn:uuid:w$i>", "application/octet-stream", payload)
+    }
+  }
+
+  /** Writes the uncompressed fixture segment; returns its directory.
+    * Idempotent byte-for-byte (pure function of the seed). */
+  def warcDir(): String = {
+    val dir = java.nio.file.Paths.get(Root, "warc")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.write(dir.resolve("seg-00000.warc"),
+      Warc.writeWarc(warcRecords()))
+    dir.toString
+  }
+
+  /** CDX-style payload index of the fixture segment: for each record, its
+    * payload's BYTE OFFSET within the file and length — derived from the
+    * serializer, NOT the parser, so an oracle slicing the raw file at
+    * these offsets independently checks every record boundary the parser
+    * found. (Common Crawl's CDX index stores exactly this triple.) */
+  def warcPayloadIndex(records: Seq[Warc.WarcRecord] = warcRecords())
+      : Seq[(Warc.WarcRecord, Long, Int)] = {
+    var off = 0L
+    records.map { r =>
+      val head = Warc.recordHeader(r)
+      val payloadOff = off + head.length
+      off = payloadOff + r.payload.length + 4 // trailing CRLF CRLF
+      (r, payloadOff, r.payload.length)
+    }
+  }
+
+  // -------------------------------------------------------------------
+  // q61 — snapshot table rebuilt from scratch each call: two commits
+  // (full nation, then an appended filtered slice), so VERSION AS OF 1
+  // and 2 read provably different live sets.
+  // -------------------------------------------------------------------
+  def snapshotTable(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.col
+    val dir = s"$Root/snap_nation"
+    deleteRecursively(new java.io.File(dir))
+    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val v1 = graft.sources.Snapshots.commit(nation, dir)
+    val v2 = graft.sources.Snapshots.commit(
+      nation.filter(col("n_nationkey") < 10), dir) // fast-append
+    require(v1 == 1L && v2 == 2L, s"fresh table must commit v1,v2 — got $v1,$v2")
+    dir
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+}

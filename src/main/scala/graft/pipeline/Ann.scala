@@ -50,6 +50,39 @@ object Ann {
     spark.createDataFrame(rows, schema)
   }
 
+  /**
+   * k-means refinement of the coarse quantizer: `iters` assign+mean
+   * DataFrame iterations seeded by the deterministic id-sample
+   * [[centroids]]. Centroid accumulation is EXACT and order-independent:
+   * components are quantized to a 1/2^20 grid (`floor(x*2^20+0.5)`) and
+   * summed as DECIMAL(38,0), so the trained centroids are bit-identical
+   * at any partitioning/parallelism AND independently replayable (the
+   * q62 DuckDB oracle re-derives every iteration). The per-iteration
+   * shuffle carries one row per (list, dim) after map-side partial
+   * aggregation — nLists x dim rows per partition, regardless of corpus
+   * size. A list that loses all members drops out (k shrinks); ties
+   * assign to the smallest list id. Each iteration's centroid set is
+   * localized (tiny) so the next assignment broadcasts a LocalRelation.
+   */
+  def kmeansCentroids(emb: DataFrame, nLists: Int, iters: Int): DataFrame = {
+    var cents = centroids(emb, nLists)
+    (1 to iters).foreach { _ =>
+      val comp = assign(emb, cents)
+        .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(sum(floor(col("x").cast("double") * lit(1048576.0) + lit(0.5))
+          .cast("decimal(38,0)")).as("sq"), count(lit(1)).as("n"))
+        .withColumn("c",
+          ((col("sq").cast("double") / col("n").cast("double")) / lit(1048576.0))
+            .cast("float"))
+      cents = graft.sources.Storage.localize(
+        comp.groupBy(col("list_id"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            s => s("c")).as("cvec")))
+    }
+    cents
+  }
+
   /** Nearest-centroid assignment: one inverted-list id per vector. The
     * argmax is a `max_by` AGGREGATE, not a window: partial (map-side)
     * aggregation collapses each vector's nLists scored copies before the
@@ -70,8 +103,9 @@ object Ann {
    * Exact cosine ranking within candidates; ties broken by vec_id.
    */
   def ivfTopK(emb: DataFrame, queries: DataFrame, k: Int,
-              nLists: Int, nProbe: Int): DataFrame = {
-    val cents = centroids(emb, nLists)
+              nLists: Int, nProbe: Int, trainIters: Int = 0): DataFrame = {
+    val cents = if (trainIters > 0) kmeansCentroids(emb, nLists, trainIters)
+                else centroids(emb, nLists)
     val lists = assign(emb, cents)
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("csim").desc, col("list_id"))

@@ -111,6 +111,36 @@ object SpatialJoin {
         col("holeNumber"): _*)
 
   /**
+   * Salt factor from a cheap cell-histogram pre-pass (SURVEY §7): a
+   * deterministic 1/128 hash-sample of the pages is histogrammed by
+   * maxLevel cell; a cell holding share `s` of the rows needs
+   * `ceil(s * shufflePartitions)` salts before its reducer looks like the
+   * average — clamped to [1, shufflePartitions]. RNG-free (the sample is
+   * a hash bucket), so the derived factor is identical at any
+   * parallelism. At 10^12 rows the pre-pass reads two columns of 1/128 of
+   * the table once per dataset version — noise next to the join itself.
+   */
+  def autoSalts(pages: DataFrame, maxLevel: Int = MaxLevel): Int = {
+    val nPart = pages.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val r = pages
+      .filter(pmod(xxhash64(col("url")), lit(128L)) === 0L)
+      .select(cell_id(col("lon"), col("lat"), lit(maxLevel)).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("tot"))
+      .collect()(0)
+    if (r.isNullAt(0) || r.getLong(1) == 0L) 1
+    else {
+      val share = r.getLong(0).toDouble / r.getLong(1).toDouble
+      math.max(1, math.min(nPart, math.ceil(share * nPart).toInt))
+    }
+  }
+
+  /** [[assignPagesSmj]] with the salt factor derived by [[autoSalts]]. */
+  def assignPagesSmjAuto(pages: DataFrame, cover: DataFrame, bounds: DataFrame,
+                         minLevel: Int = MinLevel, maxLevel: Int = MaxLevel): DataFrame =
+    assignPagesSmj(pages, cover, bounds, autoSalts(pages, maxLevel), minLevel, maxLevel)
+
+  /**
    * Sort-merge variant for covers too large to broadcast (the 10^12-row /
    * continental-polygon-set path): pages salted on a hash of url so hot
    * cells spread over `nSalts` reducers; the cover side replicated per

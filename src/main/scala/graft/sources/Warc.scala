@@ -206,19 +206,23 @@ object Warc {
         lit("und").as("lang"))
   }
 
+  /** One record's serialized header block (through the blank line) —
+    * exposed so offset indexes (CDX-style) can be derived from the
+    * SERIALIZER, independently of what the parser later finds. */
+  def recordHeader(r: WarcRecord): Array[Byte] =
+    (s"WARC/1.0\r\n" +
+      s"WARC-Type: ${r.warcType}\r\n" +
+      s"WARC-Target-URI: ${r.targetUri}\r\n" +
+      s"WARC-Date: ${r.warcDate}\r\n" +
+      s"WARC-Record-ID: ${r.recordId}\r\n" +
+      s"Content-Type: ${r.contentType}\r\n" +
+      s"Content-Length: ${r.payload.length}\r\n\r\n").getBytes(UTF_8)
+
   /** Serialize records back to WARC bytes (round-trip fixture writer). */
   def writeWarc(records: Seq[WarcRecord]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     records.foreach { r =>
-      val head =
-        s"WARC/1.0\r\n" +
-          s"WARC-Type: ${r.warcType}\r\n" +
-          s"WARC-Target-URI: ${r.targetUri}\r\n" +
-          s"WARC-Date: ${r.warcDate}\r\n" +
-          s"WARC-Record-ID: ${r.recordId}\r\n" +
-          s"Content-Type: ${r.contentType}\r\n" +
-          s"Content-Length: ${r.payload.length}\r\n\r\n"
-      bos.write(head.getBytes(UTF_8))
+      bos.write(recordHeader(r))
       bos.write(r.payload)
       bos.write("\r\n\r\n".getBytes(UTF_8))
     }

@@ -23,6 +23,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  */
 object Sessionize {
 
+  /** The BUILT-IN `session_window` aggregation in streaming form — q58's
+    * operator under a watermark: Spark merges overlapping `[ts, ts+gap)`
+    * windows in state and emits each merged session once the watermark
+    * finalizes it (append mode). Prefer this native form for plain gap
+    * sessions — the engine owns the state; [[sessions]] (the
+    * flatMapGroupsWithState path) exists for semantics the native
+    * operator can't express (exact event buffering, custom timeout
+    * emission, per-session payloads). Stream-vs-batch parity with q58 is
+    * pinned in StreamingSpec. */
+  def sessionsBuiltin(events: DataFrame, gap: String = "30 minutes",
+                      watermark: String = "1 hour"): DataFrame =
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   case class Event(user_id: Long, ts: Timestamp)
   /** Buffered event times in MICROseconds — java.sql.Timestamp.getTime is
     * millis and would silently truncate parquet's micros, shifting session

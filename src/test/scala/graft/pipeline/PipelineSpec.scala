@@ -328,6 +328,54 @@ class PipelineSpec extends AnyFunSuite {
     if (firstMax >= 0) assert(prios.drop(firstMax).forall(_ == Int.MaxValue))
   }
 
+  test("auto-derived SMJ salt factor balances reducer input under a hot cell") {
+    import graft.{functions => gf}
+    graft.functions.registerAll(spark)
+    val nPartOld = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val nPart = 32
+      // one level-17 cell holds ~91% of pages (planted at a real course
+      // centroid so the join-equality check below has actual hits);
+      // the rest spread worldwide
+      val e0 = Geom.envelopePoly(boundPolys.head._2)
+      val (clon, clat) = ((e0(0) + e0(2)) / 2, (e0(1) + e0(3)) / 2)
+      val hot = spark.range(20000).select(
+        concat(lit("h"), col("id")).as("url"),
+        (lit(clon) + (col("id") % 10).cast("double") * lit(1e-7)).as("lon"),
+        lit(clat).as("lat"))
+      val cold = spark.range(2000).select(
+        concat(lit("c"), col("id")).as("url"),
+        (((col("id") * 7919) % 360000).cast("double") / 1000.0 - 180.0).as("lon"),
+        (((col("id") * 104729) % 160000).cast("double") / 1000.0 - 80.0).as("lat"))
+      val pages = hot.unionByName(cold)
+      val nSalts = SpatialJoin.autoSalts(pages)
+      assert(nSalts > 1, s"hot-cell input must derive a salt factor > 1, got $nSalts")
+      // replicate HashPartitioning's reducer assignment (murmur3 + pmod)
+      // over the SMJ shuffle key (probe_cell, salt) and pin max/mean
+      def partCounts(salts: Int): Array[Long] = {
+        val cellCol = gf.cell_id(col("lon"), col("lat"), lit(17))
+        pages
+          .withColumn("probe_cell",
+            explode(array((13 to 17).map(l => gf.cell_parent(cellCol, lit(l))): _*)))
+          .withColumn("salt", pmod(xxhash64(col("url")), lit(salts)))
+          .groupBy(pmod(hash(col("probe_cell"), col("salt")), lit(nPart)).as("p"))
+          .agg(count(lit(1)).as("n")).collect().map(_.getLong(1))
+      }
+      def maxOverMean(c: Array[Long]) = c.max.toDouble / (c.sum.toDouble / nPart)
+      val unsalted = maxOverMean(partCounts(1))
+      val salted = maxOverMean(partCounts(nSalts))
+      assert(unsalted > 3.0, s"fixture not skewed enough to test: $unsalted")
+      assert(salted <= 3.0, s"salted reducer input unbalanced: $salted (unsalted $unsalted)")
+      // and the auto-salted join itself agrees with the broadcast path
+      val smj = SpatialJoin.assignPagesSmjAuto(pages, SpatialJoin.coverDf(bounds), bounds)
+        .select($"url", $"clubId", $"courseId", $"holeNumber").collect().toSet
+      val bcast = SpatialJoin.assignPagesFlat(pages, SpatialJoin.coverDfFlat(bounds), bounds)
+        .select($"url", $"clubId", $"courseId", $"holeNumber").collect().toSet
+      assert(smj == bcast && smj.nonEmpty)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", nPartOld)
+  }
+
   test("entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

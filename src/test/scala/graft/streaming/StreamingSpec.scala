@@ -163,6 +163,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(contradictions.isEmpty, s"streamed sessions not in batch: ${contradictions.take(3)}")
   }
 
+  test("built-in session_window streaming: closed sessions match the batch q58 set") {
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    val batch = SparkEntry.queries("q58_session_window")(spark, sfDir)
+      .selectExpr("user_id", "unix_micros(CAST(session_start AS TIMESTAMP)) AS s",
+        "unix_micros(CAST(session_end AS TIMESTAMP)) AS e", "n_events")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val base = java.nio.file.Files.createTempDirectory("graft-sessb").toString
+    events.select($"user_id", $"ts").write.parquet(s"$base/in")
+    val stream = spark.readStream.schema(events.select($"user_id", $"ts").schema)
+      .parquet(s"$base/in")
+    val q = Sessionize.sessionsBuiltin(stream, gap = "30 minutes", watermark = "1 minute")
+      .selectExpr("user_id", "unix_micros(CAST(session_start AS TIMESTAMP)) AS s",
+        "unix_micros(CAST(session_end AS TIMESTAMP)) AS e", "n_events")
+      .writeStream.format("memory").queryName("sessb").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sessb")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed.nonEmpty, "no sessions finalized — watermark never advanced")
+    val contradictions = streamed -- batch
+    assert(contradictions.isEmpty,
+      s"streamed built-in sessions not in batch q58: ${contradictions.take(3)}")
+  }
+
+  test("session_window matches hand-derived gap semantics on adversarial timestamps") {
+    // property fuzz for the q58 oracle's semantics-by-hand replay (r2
+    // verdict #7): duplicate timestamps, exact-gap boundaries, gap±1us,
+    // cross-midnight bases — the pure-Scala fold must equal Spark's
+    // operator exactly. THIS TEST FOUND THE EDGE: Spark merges ADJACENT
+    // windows (next start == current end, i.e. diff == gap), so a new
+    // session starts only at diff > gap — the q58 oracle originally
+    // replayed >= and was corrected to match (real microsecond data never
+    // lands on the exact boundary, which is why it was green anyway)
+    val gapUs = 1800L * 1000000L
+    val rnd = new scala.util.Random(23)
+    (0 until 25).foreach { iter =>
+      val deltas = Seq(0L, 1L, gapUs - 1L, gapUs, gapUs + 1L)
+      val rows = (0 until 3).flatMap { u =>
+        var t = java.sql.Timestamp.valueOf("2025-01-01 23:40:00").getTime * 1000L + u
+        (0 until 5 + rnd.nextInt(15)).map { _ =>
+          t += (if (rnd.nextBoolean()) deltas(rnd.nextInt(deltas.length))
+                else math.abs(rnd.nextLong()) % (2 * gapUs))
+          (u.toLong, t)
+        }
+      }
+      val expected = rows.groupBy(_._1).flatMap { case (u, es) =>
+        val ts = es.map(_._2).sorted
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var s = ts.head; var e = ts.head; var n = 1L
+        ts.tail.foreach { t =>
+          if (t - e > gapUs) { out += ((s, e, n)); s = t; e = t; n = 1L }
+          else { e = t; n += 1L }
+        }
+        out += ((s, e, n))
+        out.map { case (start, end, cnt) => (u, start, end + gapUs, cnt) }
+      }.toSet
+      val got = rows.toDF("user_id", "us")
+        .select($"user_id", expr("timestamp_micros(us)").as("ts"))
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .selectExpr("user_id", "unix_micros(session_window.start)",
+          "unix_micros(session_window.end)", "n")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == expected,
+        s"iter $iter: onlyExpected=${(expected -- got).take(2)} onlyGot=${(got -- expected).take(2)}")
+    }
+  }
+
   test("windowed counts: watermark finalizes windows and drops late rows") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(java.sql.Timestamp, String)]
