@@ -571,9 +571,10 @@ object SparkEntry {
 
     // ---- near-dup VERIFY-stage anchors: the exact-verification kernels
     // of q25/q26/q27 (jaccard merge-walk, hamming) run brute-force over a
-    // bounded probe slice (doc_id < 100 one side) with full DuckDB oracles
-    // — the LSH/banded candidate stages above are the scale paths, these
-    // pin their verify math to an independent engine ----
+    // bounded probe slice (doc_id < 100 one side) with full DuckDB oracles.
+    // q25-q27 themselves are ALSO fully oracled (FNV/splitmix64 replayed
+    // in HUGEINT SQL), so these anchors now serve as the thresholdless
+    // full-similarity-table fixtures and recall baselines ----
     "q37_shingle_jaccard" -> ((s, d) => {
       graft.functions.registerAll(s)
       // q25's verify stage: exact word-3-shingle jaccard (distinct-set
@@ -1119,6 +1120,43 @@ object SparkEntry {
        |  GROUP BY list_id, g.p),
        |$cNew AS (SELECT list_id, list(c ORDER BY pos) AS cvec FROM $mNew GROUP BY list_id)""".stripMargin
 
+  // ---- FNV-1a 64 + splitmix64 replayed in SQL, so DuckDB re-derives every
+  // hash-derived CANDIDATE (q25 minhash band keys, q26 simhash chunks, q27
+  // sampled rare grams) from the raw text — the only constants shared with
+  // the engine are the published FNV/splitmix64 parameters. Arithmetic runs
+  // in the unsigned-64 domain as HUGEINT in [0, 2^64); products are split
+  // 32/32 so no intermediate exceeds HUGEINT's 127-bit positive range. ----
+
+  private val Wrap64 = "18446744073709551616::HUGEINT"
+
+  /** (a * b) mod 2^64, both operands in [0, 2^64). */
+  private def mulmod64(a: String, b: String): String =
+    s"(((($a) % 4294967296) * ($b) + (((($a) // 4294967296) * ($b)) % 4294967296) * 4294967296) % $Wrap64)"
+
+  /** `TextOps.mix64` (splitmix64 finalizer); >>> k is `// 2^k` unsigned. */
+  private def mix64Sql(z: String): String = {
+    val s1 = s"((($z) + 11400714819323198485::HUGEINT) % $Wrap64)"
+    val s2 = mulmod64(s"xor($s1, $s1 // 1073741824)", "13787848793156543929::HUGEINT")
+    val s3 = mulmod64(s"xor($s2, $s2 // 134217728)", "10723151780598845931::HUGEINT")
+    s"xor($s3, $s3 // 2147483648)"
+  }
+
+  /** `TextOps.hashText` over an ASCII string expression (documents.text is
+    * ASCII by construction, so `ord` per char == the UTF-8 byte the engine
+    * folds; an oracle over non-ASCII corpora would decode real bytes). */
+  private def fnvSql(col: String): String =
+    mix64Sql(
+      s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+         |        list_transform(range(1, length($col)+1), i -> ord(substring($col, i, 1)))),
+         |      (h, c) -> ${mulmod64("xor(h, CAST(c AS HUGEINT))", "1099511628211::HUGEINT")})""".stripMargin)
+
+  /** q25's per-slot remix keys `mix64(seed + j)` (seed 7, k = 64) as
+    * `(j, kj)` VALUES — data-independent constants, like q31's weights. */
+  private lazy val oracleMinhashSlotValues: String =
+    (0 until 64).map { j =>
+      s"($j, ${java.lang.Long.toUnsignedString(graft.expr.TextOps.mix64(7L + j))}::HUGEINT)"
+    }.mkString(",")
+
   /** DuckDB Sutherland–Hodgman half-plane clip of point-list column `p`
     * by the directed edge `e1 -> e2` (inside = left); `e1`/`e2` are SQL
     * `[x,y]` expressions. Mirrors the textbook emit rule (entering edges
@@ -1633,6 +1671,106 @@ object SparkEntry {
         |  FROM probes p JOIN assign a USING (list_id)
         |  WHERE a.vec_id <> p.query_id)
         |WHERE rank <= 10""".stripMargin,
+
+    // MinHash + LSH, FULLY replayed from raw text: word 3-shingles, the
+    // FNV/splitmix64 shingle hash, all 64 min-slots (remix keys emitted as
+    // constants), FNV band keys over the little-endian signature bytes,
+    // the band equi-join, and the exact distinct-shingle jaccard verify —
+    // every candidate the banding admits is independently re-derived
+    "q25_minhash_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
+         |  FROM toks, unnest(range(1, len(tk) - 1)) AS g(i)
+         |  WHERE len(tk) >= 3),
+         |shh AS (SELECT doc_id, ${fnvSql("s")} AS h FROM sh),
+         |slots AS (SELECT * FROM (VALUES $oracleMinhashSlotValues) k(j, kj)),
+         |sig AS (
+         |  SELECT doc_id, j, min(${mix64Sql("xor(h, kj)")}) AS g
+         |  FROM shh CROSS JOIN slots GROUP BY doc_id, j),
+         |bands AS (
+         |  SELECT doc_id, (j // 4) AS b, list(g ORDER BY j) AS vs
+         |  FROM sig GROUP BY doc_id, (j // 4)),
+         |keys AS (
+         |  SELECT doc_id, xor(CAST(b AS HUGEINT) * 72057594037927936::HUGEINT,
+         |    ${mix64Sql(
+        s"""list_reduce(list_prepend(14695981039346656037::HUGEINT, vs), (h, v) ->
+           |    list_reduce(list_prepend(h, list_transform(range(0, 8), s -> (v // power(256, s)::HUGEINT) % 256)),
+           |      (h2, byte) -> ${mulmod64("xor(h2, byte)", "1099511628211::HUGEINT")}))""".stripMargin)} // 256) AS bk
+         |  FROM bands),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |feat AS (SELECT doc_id, list_distinct(list(s)) AS sh, count(DISTINCT s) AS n
+         |         FROM sh GROUP BY doc_id)
+         |SELECT doc_a, doc_b, round(CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
+         |    (fa.n + fb.n - len(list_intersect(fa.sh, fb.sh))), 6) AS jaccard
+         |FROM pairs JOIN feat fa ON fa.doc_id = doc_a JOIN feat fb ON fb.doc_id = doc_b
+         |WHERE CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
+         |    (fa.n + fb.n - len(list_intersect(fa.sh, fb.sh))) >= 0.5""".stripMargin,
+
+    // SimHash, FULLY replayed: per-token FNV hash, the 64 majority-vote
+    // bits, the 4x16-bit chunk band keys (arith-shift + mask == unsigned
+    // extract, q26's engine form), the chunk equi-join, and the hamming
+    // verify over the recomputed 64-bit signatures
+    "q26_simhash_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS s FROM documents),
+         |th AS (SELECT doc_id, ${fnvSql("s")} AS h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, b.b,
+         |    CASE WHEN 2 * sum(CASE WHEN (h // power(2, b.b)::HUGEINT) % 2 = 1 THEN 1 ELSE 0 END)
+         |        > count(*)
+         |      THEN power(2, b.b)::HUGEINT ELSE 0::HUGEINT END AS bv
+         |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+         |  GROUP BY doc_id, b.b),
+         |sh AS (SELECT doc_id, sum(bv)::HUGEINT AS u FROM bits GROUP BY doc_id),
+         |chunks AS (
+         |  SELECT doc_id, concat(i, ':', CAST((u // power(2, 16*i)::HUGEINT) % 65536 AS BIGINT)) AS chunk
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(CAST(xor(sa.u, sb.u) AS UBIGINT)) AS INT) AS hamming
+         |FROM pairs JOIN sh sa ON sa.doc_id = doc_a JOIN sh sb ON sb.doc_id = doc_b
+         |WHERE bit_count(CAST(xor(sa.u, sb.u) AS UBIGINT)) <= 8""".stripMargin,
+
+    // hashed char-5-gram near-dup, FULLY replayed: per-gram FNV/mix64 over
+    // char code units, the SIGNED-long sort order the engine's sorted-
+    // distinct arrays use (every 16th position samples the index side),
+    // the 2<=df<=10 rare-gram filter, the inverted-index join, and the
+    // distinct-gram jaccard verify
+    "q27_ngram_jaccard" ->
+      s"""WITH grams_raw AS (
+         |  SELECT doc_id, ${mix64Sql(
+        s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+           |      list_transform(range(0, 5), j -> ord(substring(text, i + j, 1)))),
+           |      (h, c) -> ${mulmod64("xor(h, CAST(c AS HUGEINT))", "1099511628211::HUGEINT")})""".stripMargin)} AS g
+         |  FROM documents, unnest(range(1, length(text) - 3)) AS u(i)
+         |  WHERE length(text) >= 5),
+         |grams AS (SELECT DISTINCT doc_id, g FROM grams_raw),
+         |ranked AS (
+         |  SELECT doc_id, g, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY (CASE WHEN g >= 9223372036854775808::HUGEINT
+         |      THEN g - $Wrap64 ELSE g END)) - 1 AS pos
+         |  FROM grams),
+         |inv AS (SELECT doc_id, g FROM ranked WHERE pos % 16 = 0),
+         |rare AS (SELECT g FROM inv GROUP BY g HAVING count(*) BETWEEN 2 AND 10),
+         |keyed AS (SELECT doc_id, g FROM inv JOIN rare USING (g)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM keyed a JOIN keyed b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |feat AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.doc_a, p.doc_b, count(*) AS ni
+         |  FROM pairs p JOIN grams ga ON ga.doc_id = p.doc_a
+         |  JOIN grams gb ON gb.doc_id = p.doc_b AND gb.g = ga.g
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(ni AS DOUBLE) / (fa.n + fb.n - ni), 6) AS jaccard
+         |FROM inter JOIN feat fa ON fa.doc_id = doc_a JOIN feat fb ON fb.doc_id = doc_b
+         |WHERE CAST(ni AS DOUBLE) / (fa.n + fb.n - ni) >= 0.6""".stripMargin,
 
     "q37_shingle_jaccard" ->
       """WITH sh AS (
