@@ -519,6 +519,27 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    "q63_minhash_dedup" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // First-wins candidate-level near-dup RETENTION (the form a 100-TB
+      // dedup pass actually materializes): a doc is kept iff it is the
+      // smallest-id claimant of EVERY one of its 16 LSH bands — i.e. no
+      // earlier doc shares any band ("dedup against seen", the greedy
+      // order-respecting rule a single streaming pass can honor; see
+      // streaming.NearDup for the watermark-bounded stream form). Shape:
+      // band-keyed groupBy + equi-join + doc-keyed groupBy — no all-pairs
+      // stage, partial aggregation map-side throughout.
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        gf.minhash(gf.word_shingles(col("text"), lit(3)), lit(64), lit(7L)).as("sig"))
+      val banded = docs.select(col("doc_id"),
+        explode(gf.lsh_bands(col("sig"), lit(4))).as("band"))
+      val owner = banded.groupBy(col("band")).agg(min(col("doc_id")).as("owner"))
+      banded.join(owner, Seq("band"))
+        .groupBy(col("doc_id"))
+        .agg(min(when(col("owner") === col("doc_id"), 1).otherwise(0)).as("k"))
+        .select(col("doc_id"), (col("k") === 1).as("kept"))
+    }),
+
     "q26_simhash_pairs" -> ((s, d) => {
       graft.functions.registerAll(s)
       // SimHash near-dup: 64-bit simhash, band on 4x16-bit chunks, verify
@@ -1157,6 +1178,33 @@ object SparkEntry {
       s"($j, ${java.lang.Long.toUnsignedString(graft.expr.TextOps.mix64(7L + j))}::HUGEINT)"
     }.mkString(",")
 
+  /** The full MinHash banding replay as a CTE chain ending in
+    * `keys(doc_id, bk)` — raw text → word 3-shingles → FNV/mix64 shingle
+    * hashes → 64 min-slots → 16 FNV band keys. Shared by the q25 pair
+    * oracle and the q63 first-wins dedup oracle. */
+  private lazy val minhashBandCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+       |sh AS (
+       |  SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
+       |  FROM toks, unnest(range(1, len(tk) - 1)) AS g(i)
+       |  WHERE len(tk) >= 3),
+       |shh AS (SELECT doc_id, ${fnvSql("s")} AS h FROM sh),
+       |slots AS (SELECT * FROM (VALUES $oracleMinhashSlotValues) k(j, kj)),
+       |sig AS (
+       |  SELECT doc_id, j, min(${mix64Sql("xor(h, kj)")}) AS g
+       |  FROM shh CROSS JOIN slots GROUP BY doc_id, j),
+       |bands AS (
+       |  SELECT doc_id, (j // 4) AS b, list(g ORDER BY j) AS vs
+       |  FROM sig GROUP BY doc_id, (j // 4)),
+       |keys AS (
+       |  SELECT doc_id, xor(CAST(b AS HUGEINT) * 72057594037927936::HUGEINT,
+       |    ${mix64Sql(
+      s"""list_reduce(list_prepend(14695981039346656037::HUGEINT, vs), (h, v) ->
+         |    list_reduce(list_prepend(h, list_transform(range(0, 8), s -> (v // power(256, s)::HUGEINT) % 256)),
+         |      (h2, byte) -> ${mulmod64("xor(h2, byte)", "1099511628211::HUGEINT")}))""".stripMargin)} // 256) AS bk
+       |  FROM bands)""".stripMargin
+
   /** DuckDB Sutherland–Hodgman half-plane clip of point-list column `p`
     * by the directed edge `e1 -> e2` (inside = left); `e1`/`e2` are SQL
     * `[x,y]` expressions. Mirrors the textbook emit rule (entering edges
@@ -1678,27 +1726,7 @@ object SparkEntry {
     // the band equi-join, and the exact distinct-shingle jaccard verify —
     // every candidate the banding admits is independently re-derived
     "q25_minhash_pairs" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
-         |sh AS (
-         |  SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
-         |  FROM toks, unnest(range(1, len(tk) - 1)) AS g(i)
-         |  WHERE len(tk) >= 3),
-         |shh AS (SELECT doc_id, ${fnvSql("s")} AS h FROM sh),
-         |slots AS (SELECT * FROM (VALUES $oracleMinhashSlotValues) k(j, kj)),
-         |sig AS (
-         |  SELECT doc_id, j, min(${mix64Sql("xor(h, kj)")}) AS g
-         |  FROM shh CROSS JOIN slots GROUP BY doc_id, j),
-         |bands AS (
-         |  SELECT doc_id, (j // 4) AS b, list(g ORDER BY j) AS vs
-         |  FROM sig GROUP BY doc_id, (j // 4)),
-         |keys AS (
-         |  SELECT doc_id, xor(CAST(b AS HUGEINT) * 72057594037927936::HUGEINT,
-         |    ${mix64Sql(
-        s"""list_reduce(list_prepend(14695981039346656037::HUGEINT, vs), (h, v) ->
-           |    list_reduce(list_prepend(h, list_transform(range(0, 8), s -> (v // power(256, s)::HUGEINT) % 256)),
-           |      (h2, byte) -> ${mulmod64("xor(h2, byte)", "1099511628211::HUGEINT")}))""".stripMargin)} // 256) AS bk
-         |  FROM bands),
+      s"""WITH $minhashBandCtes,
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.doc_id < b.doc_id),
@@ -1771,6 +1799,16 @@ object SparkEntry {
          |  round(CAST(ni AS DOUBLE) / (fa.n + fb.n - ni), 6) AS jaccard
          |FROM inter JOIN feat fa ON fa.doc_id = doc_a JOIN feat fb ON fb.doc_id = doc_b
          |WHERE CAST(ni AS DOUBLE) / (fa.n + fb.n - ni) >= 0.6""".stripMargin,
+
+    // first-wins retention over the SAME fully-replayed band keys as q25:
+    // kept iff the doc is the min-id claimant of every band it occupies
+    "q63_minhash_dedup" ->
+      s"""WITH $minhashBandCtes,
+         |own AS (SELECT bk, min(doc_id) AS owner FROM keys GROUP BY bk)
+         |SELECT k.doc_id,
+         |  (min(CASE WHEN o.owner = k.doc_id THEN 1 ELSE 0 END) = 1) AS kept
+         |FROM keys k JOIN own o USING (bk)
+         |GROUP BY k.doc_id""".stripMargin,
 
     "q37_shingle_jaccard" ->
       """WITH sh AS (

@@ -187,6 +187,48 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed built-in sessions not in batch q58: ${contradictions.take(3)}")
   }
 
+  test("streaming minhash dedup: retained set equals the batch first-wins rule") {
+    import graft.{functions => gf}
+    gf.registerAll(spark)
+    // docs ordered by doc_id in event time (1s apart) + a far-future
+    // sentinel whose sole job is to push the final watermark past every
+    // real doc's window so stage 2 finalizes them all
+    val base = java.sql.Timestamp.valueOf("2025-03-01 00:00:00").getTime
+    val sentinelId = 999999L
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq((sentinelId, "sentinel far future doc")).toDF("doc_id", "text"))
+      .select($"doc_id", expr(s"timestamp_millis($base + doc_id * 1000)").as("ts"), $"text")
+    // batch expected: q63's rule over the SAME augmented input (so any
+    // band collision with the sentinel affects both sides identically)
+    val banded = docs.select($"doc_id",
+      explode(gf.lsh_bands(gf.minhash(gf.word_shingles($"text", lit(3)), lit(64), lit(7L)),
+        lit(4))).as("band"))
+    val owner = banded.groupBy($"band").agg(min($"doc_id").as("owner"))
+    val expected = banded.join(owner, Seq("band"))
+      .groupBy($"doc_id")
+      .agg(min(when($"owner" === $"doc_id", 1).otherwise(0)).as("k"))
+      .filter($"k" === 1 && $"doc_id" =!= sentinelId)
+      .select($"doc_id").as[Long].collect().toSet
+    val dir = Files.createTempDirectory("graft-neardup").toString
+    docs.write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in")
+    // ttl must outlive the whole doc_id range (500s) for stream == batch
+    val q = NearDup.kept(stream, watermark = "10 seconds", ttlMillis = 86400000L)
+      .writeStream.format("memory").queryName("neardup").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("neardup")
+      .filter($"doc_id" =!= sentinelId).select($"doc_id").as[Long].collect().toSet
+    assert(streamed.nonEmpty, "no retained docs finalized — watermark never advanced")
+    assert(streamed == expected,
+      s"stream/batch retention drift: onlyBatch=${(expected -- streamed).take(5)} " +
+        s"onlyStream=${(streamed -- expected).take(5)}")
+    // every emitted doc carries all 16 band claims
+    val nb = spark.table("neardup").select($"n_bands").as[Long].collect()
+    assert(nb.forall(_ == 16L), s"partial band groups emitted: ${nb.distinct.toSeq}")
+  }
+
   test("session_window matches hand-derived gap semantics on adversarial timestamps") {
     // property fuzz for the q58 oracle's semantics-by-hand replay (r2
     // verdict #7): duplicate timestamps, exact-gap boundaries, gap±1us,
