@@ -540,6 +540,73 @@ object SparkEntry {
         .select(col("doc_id"), (col("k") === 1).as("kept"))
     }),
 
+    "q64_percentiles" -> ((s, d) => {
+      // exact linear-interpolation percentiles of document length per
+      // language — the distribution profile a curation pass reports.
+      // Exact `percentile` (not approx_percentile) so the oracle's
+      // quantile_cont is the same mathematical function; rounded to a
+      // 1e-6 quantum in case the two engines' interpolation arithmetic
+      // differs in the last ulp.
+      val len = length(col("text"))
+      def p(q: Double, name: String) =
+        round(expr(s"percentile(length(text), ${q}D)"), 6).as(name)
+      t(s, d, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), min(len).cast("long").as("min_len"),
+          p(0.25, "p25"), p(0.5, "p50"), p(0.9, "p90"), p(0.99, "p99"),
+          max(len).cast("long").as("max_len"))
+    }),
+
+    "q65_curation_pipeline" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // The END-TO-END curation pass a training-data pipeline runs, as one
+      // dataflow: quality gate (q54's rule chain) -> exact dedup (first id
+      // per identical text) -> first-wins near-dup retention (q63's rule,
+      // bands computed over the survivors) -> language-stratified sampling
+      // (q53's content-hash quota). Output: the per-source funnel. Every
+      // stage keys on doc/text/band hashes — no all-pairs, no driver
+      // state; the funnel aggregation is one map-side-partial groupBy.
+      val stop = Seq("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+      val toks = split(trim(col("text")), "\\s+")
+      val nToks = size(toks)
+      val docs = t(s, d, "documents")
+      val gated = docs
+        .filter(nToks >= 20 && nToks <= 1000 &&
+          size(filter(toks, tk => tk.isInCollection(stop))).cast("double") /
+            nToks.cast("double") >= 0.01 &&
+          size(array_distinct(toks)).cast("double") / nToks.cast("double") >= 0.3)
+      val wText = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("text")).orderBy(col("doc_id"))
+      val exact = gated.withColumn("rn", row_number().over(wText))
+        .filter(col("rn") === 1).drop("rn")
+      val banded = exact.select(col("doc_id"),
+        explode(gf.lsh_bands(
+          gf.minhash(gf.word_shingles(col("text"), lit(3)), lit(64), lit(7L)),
+          lit(4))).as("band"))
+      val owner = banded.groupBy(col("band")).agg(min(col("doc_id")).as("owner"))
+      val nearIds = banded.join(owner, Seq("band"))
+        .groupBy(col("doc_id"))
+        .agg(min(when(col("owner") === col("doc_id"), 1).otherwise(0)).as("k"))
+        .filter(col("k") === 1).select(col("doc_id"))
+      val near = exact.join(nearIds, Seq("doc_id"))
+      val bucket = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long") % 1000
+      val sampled = near.filter(
+        bucket < when(col("lang") === "en", lit(250)).otherwise(lit(1000)))
+      def ids(df: org.apache.spark.sql.DataFrame, flag: String) =
+        df.select(col("doc_id"), lit(1L).as(flag))
+      docs.select(col("doc_id"), col("source"))
+        .join(ids(gated, "g"), Seq("doc_id"), "left")
+        .join(ids(exact, "e"), Seq("doc_id"), "left")
+        .join(ids(near, "nd"), Seq("doc_id"), "left")
+        .join(ids(sampled, "sm"), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("g")), lit(0L)).as("n_gated"),
+          coalesce(sum(col("e")), lit(0L)).as("n_exact"),
+          coalesce(sum(col("nd")), lit(0L)).as("n_neardup"),
+          coalesce(sum(col("sm")), lit(0L)).as("n_sampled"))
+    }),
+
     "q26_simhash_pairs" -> ((s, d) => {
       graft.functions.registerAll(s)
       // SimHash near-dup: 64-bit simhash, band on 4x16-bit chunks, verify
@@ -1181,10 +1248,12 @@ object SparkEntry {
   /** The full MinHash banding replay as a CTE chain ending in
     * `keys(doc_id, bk)` — raw text → word 3-shingles → FNV/mix64 shingle
     * hashes → 64 min-slots → 16 FNV band keys. Shared by the q25 pair
-    * oracle and the q63 first-wins dedup oracle. */
-  private lazy val minhashBandCtes: String =
+    * oracle, the q63 first-wins dedup oracle, and (over the gated
+    * survivor set) the q65 pipeline oracle. `src` must expose
+    * `(doc_id, text)`. */
+  private def minhashBandCtes(src: String = "documents"): String =
     s"""toks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM $src),
        |sh AS (
        |  SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
        |  FROM toks, unnest(range(1, len(tk) - 1)) AS g(i)
@@ -1726,7 +1795,7 @@ object SparkEntry {
     // the band equi-join, and the exact distinct-shingle jaccard verify —
     // every candidate the banding admits is independently re-derived
     "q25_minhash_pairs" ->
-      s"""WITH $minhashBandCtes,
+      s"""WITH ${minhashBandCtes()},
          |pairs AS (
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.doc_id < b.doc_id),
@@ -1803,12 +1872,71 @@ object SparkEntry {
     // first-wins retention over the SAME fully-replayed band keys as q25:
     // kept iff the doc is the min-id claimant of every band it occupies
     "q63_minhash_dedup" ->
-      s"""WITH $minhashBandCtes,
+      s"""WITH ${minhashBandCtes()},
          |own AS (SELECT bk, min(doc_id) AS owner FROM keys GROUP BY bk)
          |SELECT k.doc_id,
          |  (min(CASE WHEN o.owner = k.doc_id THEN 1 ELSE 0 END) = 1) AS kept
          |FROM keys k JOIN own o USING (bk)
          |GROUP BY k.doc_id""".stripMargin,
+
+    "q64_percentiles" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(min(length(text)) AS BIGINT) AS min_len,
+        |  round(quantile_cont(length(text), 0.25), 6) AS p25,
+        |  round(quantile_cont(length(text), 0.5), 6) AS p50,
+        |  round(quantile_cont(length(text), 0.9), 6) AS p90,
+        |  round(quantile_cont(length(text), 0.99), 6) AS p99,
+        |  CAST(max(length(text)) AS BIGINT) AS max_len
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    // the whole curation funnel replayed stage by stage: the q54 gate
+    // predicate, first-id-per-text exact dedup, the q63 first-wins rule
+    // over the survivor set's REPLAYED band keys, and the q53 sampling
+    // quota — then the same per-source funnel counts
+    "q65_curation_pipeline" ->
+      s"""WITH gated AS (
+         |  SELECT doc_id, text, lang, source FROM (
+         |    SELECT doc_id, text, lang, source,
+         |      len(string_split_regex(trim(text), '\\s+')) AS n_toks,
+         |      CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |        t -> t IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE)
+         |        / len(string_split_regex(trim(text), '\\s+')) AS stop_ratio,
+         |      CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+         |        / len(string_split_regex(trim(text), '\\s+')) AS distinct_ratio
+         |    FROM documents)
+         |  WHERE n_toks >= 20 AND n_toks <= 1000
+         |    AND stop_ratio >= 0.01 AND distinct_ratio >= 0.3),
+         |exact AS (
+         |  SELECT doc_id, text, lang, source FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+         |    FROM gated) WHERE rn = 1),
+         |${minhashBandCtes("exact")},
+         |own AS (SELECT bk, min(doc_id) AS owner FROM keys GROUP BY bk),
+         |near AS (
+         |  SELECT e.doc_id, e.text, e.lang, e.source FROM exact e JOIN (
+         |    SELECT k.doc_id FROM keys k JOIN own o USING (bk)
+         |    GROUP BY k.doc_id
+         |    HAVING min(CASE WHEN o.owner = k.doc_id THEN 1 ELSE 0 END) = 1) kk
+         |  ON kk.doc_id = e.doc_id),
+         |sampled AS (
+         |  SELECT doc_id FROM (
+         |    SELECT doc_id, lang,
+         |      list_reduce(list_transform(string_split(substring(md5(text), 1, 15), ''),
+         |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+         |        (acc, d) -> acc * 16 + d) % 1000 AS bucket
+         |    FROM near)
+         |  WHERE bucket < CASE WHEN lang = 'en' THEN 250 ELSE 1000 END)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(count(g.doc_id) AS BIGINT) AS n_gated,
+         |  CAST(count(e.doc_id) AS BIGINT) AS n_exact,
+         |  CAST(count(n.doc_id) AS BIGINT) AS n_neardup,
+         |  CAST(count(s.doc_id) AS BIGINT) AS n_sampled
+         |FROM documents d
+         |LEFT JOIN (SELECT doc_id FROM gated) g USING (doc_id)
+         |LEFT JOIN (SELECT doc_id FROM exact) e ON e.doc_id = d.doc_id
+         |LEFT JOIN (SELECT doc_id FROM near) n ON n.doc_id = d.doc_id
+         |LEFT JOIN sampled s ON s.doc_id = d.doc_id
+         |GROUP BY d.source""".stripMargin,
 
     "q37_shingle_jaccard" ->
       """WITH sh AS (
