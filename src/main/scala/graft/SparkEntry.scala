@@ -28,6 +28,13 @@ object SparkEntry {
   /** Synthetic course count for correctness queries. */
   final val NCourses = 60
 
+  /** q66's PII patterns — deliberately restricted to the regex subset
+    * where Java regex and RE2 (DuckDB) agree: no backrefs, no lookaround,
+    * leftmost-first greedy quantifiers only. */
+  private val PiiEmail = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PiiPhone = """\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"""
+  private val PiiIp = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+
   private def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
@@ -605,6 +612,38 @@ object SparkEntry {
           coalesce(sum(col("e")), lit(0L)).as("n_exact"),
           coalesce(sum(col("nd")), lit(0L)).as("n_neardup"),
           coalesce(sum(col("sm")), lit(0L)).as("n_sampled"))
+    }),
+
+    "q66_pii_scrub" -> ((s, d) => {
+      // PII redaction (emails / NANP-style phones / IPv4) — the scrubbing
+      // pass a curation pipeline runs before training. Patterns are
+      // RE2-compatible (no backrefs/lookaround) so the DuckDB oracle runs
+      // the IDENTICAL regex strings under leftmost-first semantics; the
+      // synthetic PII is derived deterministically from doc_id on BOTH
+      // sides (documents.text itself carries no digits or '@', checked).
+      // Pure map-side regexp chain, codegen'd — nothing here shuffles.
+      val withPii = t(s, d, "documents").select(col("doc_id"), col("source"),
+        concat(col("text"),
+          when(col("doc_id") % 4 === 0,
+            concat(lit(" reach me at user"), col("doc_id"), lit("@example-mail.org")))
+          .when(col("doc_id") % 4 === 1,
+            concat(lit(" call ("), lpad((col("doc_id") % 800 + 200).cast("string"), 3, "0"),
+              lit(") "), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+              lit("-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit("."),
+              ((col("doc_id") * 7) % 256).cast("string"), lit(".1")))
+          .otherwise(lit(""))).as("text"))
+      val email = PiiEmail; val phone = PiiPhone; val ip = PiiIp
+      withPii.select(col("doc_id"), col("source"),
+        regexp_count(col("text"), lit(email)).as("n_email"),
+        regexp_count(col("text"), lit(phone)).as("n_phone"),
+        regexp_count(col("text"), lit(ip)).as("n_ip"),
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), email, "<EMAIL>"),
+            phone, "<PHONE>"),
+          ip, "<IP>")).as("redacted_md5"))
     }),
 
     "q26_simhash_pairs" -> ((s, d) => {
@@ -1878,6 +1917,30 @@ object SparkEntry {
          |  (min(CASE WHEN o.owner = k.doc_id THEN 1 ELSE 0 END) = 1) AS kept
          |FROM keys k JOIN own o USING (bk)
          |GROUP BY k.doc_id""".stripMargin,
+
+    // identical RE2-safe regexes, identical deterministic PII synthesis
+    "q66_pii_scrub" ->
+      s"""WITH withpii AS (
+         |  SELECT doc_id, source, text ||
+         |    CASE WHEN doc_id % 4 = 0
+         |        THEN ' reach me at user' || doc_id || '@example-mail.org'
+         |      WHEN doc_id % 4 = 1
+         |        THEN ' call (' || lpad(CAST(doc_id % 800 + 200 AS VARCHAR), 3, '0')
+         |          || ') ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+         |          || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |      WHEN doc_id % 4 = 2
+         |        THEN ' from 10.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256) || '.1'
+         |      ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id, source,
+         |  CAST(len(regexp_extract_all(text, '$PiiEmail')) AS INT) AS n_email,
+         |  CAST(len(regexp_extract_all(text, '$PiiPhone')) AS INT) AS n_phone,
+         |  CAST(len(regexp_extract_all(text, '$PiiIp')) AS INT) AS n_ip,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$PiiEmail', '<EMAIL>', 'g'),
+         |    '$PiiPhone', '<PHONE>', 'g'),
+         |    '$PiiIp', '<IP>', 'g')) AS redacted_md5
+         |FROM withpii""".stripMargin,
 
     "q64_percentiles" ->
       """SELECT lang, count(*) AS n_docs,

@@ -229,6 +229,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(nb.forall(_ == 16L), s"partial band groups emitted: ${nb.distinct.toSeq}")
   }
 
+  test("near-dup band state ages out: an expired band can be re-claimed") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2025-05-01 00:00:00").getTime
+    def ts(offsetMin: Long) = new java.sql.Timestamp(t0 + offsetMin * 60000L)
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = NearDup.bandClaims(
+        ms.toDF().toDF("doc_id", "ts", "text"),
+        watermark = "10 seconds", ttlMillis = 3600000L) // ttl 1h
+      .toDF()
+      .writeStream.format("memory").queryName("bandclaims").outputMode("append").start()
+    try {
+      // doc 1 claims its bands
+      ms.addData((1L, ts(0), dupText)); q.processAllAvailable()
+      // two filler batches push the watermark past doc 1's ttl; their
+      // band keys receive no data next batch, so doc 1's bands TIME OUT
+      // (a key that receives data is called with its state intact —
+      // timeouts fire only for silent keys once the watermark passes)
+      ms.addData((90L, ts(180), "filler one unrelated text"))
+      q.processAllAvailable()
+      ms.addData((91L, ts(181), "filler two other text"))
+      q.processAllAvailable()
+      // doc 2: same text, 4h later — bands expired, so it re-claims them
+      ms.addData((2L, ts(240), dupText)); q.processAllAvailable()
+      // doc 3: same text 1min after doc 2 — doc 2 now holds the bands
+      ms.addData((3L, ts(241), dupText)); q.processAllAvailable()
+      val claims = spark.table("bandclaims")
+        .select($"doc_id", $"first").as[(Long, Boolean)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      assert(claims(1L).length == 16 && claims(1L).forall(identity),
+        "doc 1 must claim all 16 bands first")
+      assert(claims(2L).length == 16 && claims(2L).forall(identity),
+        s"doc 2 must re-claim expired bands, got ${claims(2L).count(identity)}/16 first")
+      assert(claims(3L).length == 16 && !claims(3L).exists(identity),
+        s"doc 3 must find every band held by doc 2, got ${claims(3L).count(identity)} first")
+    } finally q.stop()
+  }
+
   test("session_window matches hand-derived gap semantics on adversarial timestamps") {
     // property fuzz for the q58 oracle's semantics-by-hand replay (r2
     // verdict #7): duplicate timestamps, exact-gap boundaries, gap±1us,
