@@ -614,6 +614,28 @@ object SparkEntry {
           coalesce(sum(col("sm")), lit(0L)).as("n_sampled"))
     }),
 
+    "q67_interval_join" -> ((s, d) => {
+      // point-in-interval join WITHOUT a nested-loop plan: overlapping
+      // "hot window" intervals (busiest 12 hours ± padding, so one event
+      // can land in several) bucketed to 30-min keys and equi-joined —
+      // see pipeline.IntervalJoin for the plan argument. The limit(12)
+      // is fully ordered (count desc, hour) => deterministic.
+      val ev = t(s, d, "events")
+      val intervals = ev
+        .groupBy(date_trunc("hour", col("ts")).as("interval_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("interval_id")).limit(12)
+        .select(col("interval_id"),
+          (col("interval_id") - expr("INTERVAL 30 MINUTES")).as("w_start"),
+          (col("interval_id") + expr("INTERVAL 90 MINUTES")).as("w_end"))
+      graft.pipeline.IntervalJoin
+        .pointInInterval(ev.select(col("event_id"), col("ts"), col("user_id")),
+          "ts", intervals, "w_start", "w_end", bucketMicros = 30L * 60 * 1000000L)
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     "q66_pii_scrub" -> ((s, d) => {
       // PII redaction (emails / NANP-style phones / IPv4) — the scrubbing
       // pass a curation pipeline runs before training. Patterns are
@@ -1917,6 +1939,20 @@ object SparkEntry {
          |  (min(CASE WHEN o.owner = k.doc_id THEN 1 ELSE 0 END) = 1) AS kept
          |FROM keys k JOIN own o USING (bk)
          |GROUP BY k.doc_id""".stripMargin,
+
+    // the oracle runs the PLAIN range-predicate join DuckDB optimizes
+    // natively — an implementation-independent restatement of q67
+    "q67_interval_join" ->
+      """WITH hours AS (
+        |  SELECT date_trunc('hour', ts) AS interval_id, count(*) AS n
+        |  FROM events GROUP BY 1 ORDER BY n DESC, interval_id LIMIT 12),
+        |iv AS (
+        |  SELECT interval_id, interval_id - INTERVAL 30 MINUTE AS ws,
+        |    interval_id + INTERVAL 90 MINUTE AS we FROM hours)
+        |SELECT interval_id, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events e JOIN iv ON e.ts >= iv.ws AND e.ts < iv.we
+        |GROUP BY interval_id""".stripMargin,
 
     // identical RE2-safe regexes, identical deterministic PII synthesis
     "q66_pii_scrub" ->

@@ -376,6 +376,41 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", nPartOld)
   }
 
+  test("bucketed interval join: equals the theta join, plans as an equi-join") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      .select($"event_id", $"ts", $"user_id")
+    // overlapping intervals, including one spanning many buckets and one
+    // empty (e <= s) that must be dropped
+    val intervals = Seq(
+      ("iv1", "2024-01-02 03:30:00", "2024-01-02 09:30:00"),
+      ("iv2", "2024-01-02 05:00:00", "2024-01-02 05:45:00"),
+      ("iv3", "2024-01-10 00:00:00", "2024-01-17 00:00:00"),
+      ("iv4", "2024-01-05 12:00:00", "2024-01-05 12:00:00"))
+      .toDF("iv_id", "s_str", "e_str")
+      .select($"iv_id", $"s_str".cast("timestamp").as("ws"),
+        $"e_str".cast("timestamp").as("we"))
+    val bucketed = IntervalJoin.pointInInterval(ev, "ts", intervals, "ws", "we",
+      bucketMicros = 3600L * 1000000L)
+    val got = bucketed.select($"event_id", $"iv_id").as[(Long, String)].collect().toSet
+    val naive = ev.join(intervals, $"ts" >= $"ws" && $"ts" < $"we")
+      .select($"event_id", $"iv_id").as[(Long, String)].collect().toSet
+    assert(got == naive && got.nonEmpty, s"bucketed=${got.size} naive=${naive.size}")
+    assert(!got.exists(_._2 == "iv4"), "empty interval must match nothing")
+    // the whole point: the physical plan is a hash/sort-merge EQUI-join,
+    // never a nested-loop or cartesian shape
+    bucketed.collect() // finalize AQE on THIS QueryExecution (CLAUDE.md)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      s"interval join fell back to a nested-loop plan:\n$plan")
+    // and the naive theta join really is the bad plan we are avoiding
+    naive // (already materialized above)
+    val naiveDf = ev.join(intervals, $"ts" >= $"ws" && $"ts" < $"we")
+    naiveDf.collect()
+    val naivePlan = naiveDf.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoop") || naivePlan.contains("Cartesian"),
+      "theta-join control no longer plans as nested-loop — revisit the premise")
+  }
+
   test("entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
