@@ -76,6 +76,34 @@ object PageStream {
       .withWatermark("warc_ts", watermark)
       .dropDuplicatesWithinWatermark("text")
 
+  /**
+   * Watermarked STREAM-STREAM inner join: pages joined to crawl-budget
+   * grants for the same host, where the page was fetched within
+   * `validFor` after the grant was issued. Both sides carry watermarks
+   * AND the join condition bounds event-time distance, which is exactly
+   * what lets Spark evict join state: a buffered grant older than
+   * (watermark - validFor) can never match a future page, so the state
+   * store drops it — state is bounded by the horizon, not stream length.
+   * Inner-join matches emit as soon as both sides arrive (no
+   * finalization wait). `budgets` needs `(host, grant_id, issued_ts)`.
+   */
+  def pagesWithBudget(pages: DataFrame, budgets: DataFrame,
+                      watermark: String = "2 hours",
+                      validFor: String = "1 hour"): DataFrame = {
+    val p = pages
+      .select(regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("p_host"),
+        col("url"), col("warc_ts"))
+      .withWatermark("warc_ts", watermark)
+    val b = budgets
+      .select(col("host"), col("grant_id"), col("issued_ts"))
+      .withWatermark("issued_ts", watermark)
+    p.join(b,
+      col("p_host") === col("host") &&
+        col("warc_ts") >= col("issued_ts") &&
+        col("warc_ts") < col("issued_ts") + expr(s"INTERVAL $validFor"))
+      .select(col("url"), col("warc_ts"), col("host"), col("grant_id"))
+  }
+
   /** Event-time tumbling-window counts with a watermark — the streaming
     * form of q17; rows later than the watermark are dropped, finalized
     * windows emit exactly once in append mode. */

@@ -229,6 +229,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(nb.forall(_ == 16L), s"partial band groups emitted: ${nb.distinct.toSeq}")
   }
 
+  test("stream-stream join: page x budget-grant matches equal the batch join") {
+    val pages = allPages.select($"url", $"warc_ts")
+    val (tMin, tMax) = pages.agg(min($"warc_ts"), max($"warc_ts"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].collect().head
+    // deterministic grants: every distinct host x 3 issue times across the
+    // crawl span (the middle one offset so some pages fall outside validFor)
+    val span = tMax.getTime - tMin.getTime
+    val grants = pages
+      .select(regexp_extract($"url", "^[a-z]+://([^/]+)", 1).as("host")).distinct()
+      .crossJoin(Seq(0L, span / 2 + 1234567L, span).toDF("off"))
+      .select($"host", concat($"host", lit("#"), $"off").as("grant_id"),
+        expr(s"timestamp_millis(${tMin.getTime} + off)").as("issued_ts"))
+    val expected = pages
+      .select(regexp_extract($"url", "^[a-z]+://([^/]+)", 1).as("p_host"),
+        $"url", $"warc_ts")
+      .join(grants, $"p_host" === $"host" && $"warc_ts" >= $"issued_ts" &&
+        $"warc_ts" < $"issued_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"url", $"grant_id").as[(String, String)].collect().toSet
+    assert(expected.nonEmpty, "fixture produced no batch matches")
+    val base = Files.createTempDirectory("graft-ssj").toString
+    pages.write.parquet(s"$base/pages")
+    grants.write.parquet(s"$base/grants")
+    val q = PageStream.pagesWithBudget(
+        spark.readStream.schema(pages.schema).parquet(s"$base/pages"),
+        spark.readStream.schema(grants.schema).parquet(s"$base/grants"),
+        watermark = "2 hours", validFor = "1 hour")
+      .writeStream.format("memory").queryName("ssjoin").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("ssjoin")
+      .select($"url", $"grant_id").as[(String, String)].collect().toSet
+    assert(streamed == expected,
+      s"stream/batch join drift: onlyBatch=${(expected -- streamed).take(3)} " +
+        s"onlyStream=${(streamed -- expected).take(3)}")
+  }
+
   test("near-dup band state ages out: an expired band can be re-claimed") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val t0 = java.sql.Timestamp.valueOf("2025-05-01 00:00:00").getTime
