@@ -504,13 +504,13 @@ object SparkEntry {
     "q25_minhash_pairs" -> ((s, d) => {
       graft.functions.registerAll(s)
       // MinHash + LSH banding near-dup pairs: shingle -> 64-slot signature
-      // -> 16 bands of 4 -> band-key equi-join -> exact jaccard >= 0.5
+      // -> 16 bands of 4 (the shared pipeline.Dedup scheme) -> band-key
+      // equi-join -> exact jaccard >= 0.5
       val docs = t(s, d, "documents").select(col("doc_id"),
         gf.word_shingles(col("text"), lit(3)).as("sh"))
-        .withColumn("sig", gf.minhash(col("sh"), lit(64), lit(7L)))
       // candidate pairs deduped on ids ONLY (never shuffle the shingle
       // arrays), then features re-joined for exact verification
-      val banded = docs.select(col("doc_id"), explode(gf.lsh_bands(col("sig"), lit(4))).as("band"))
+      val banded = graft.pipeline.Dedup.banded(t(s, d, "documents"), "doc_id")
       val a = banded.as("a"); val b = banded.as("b")
       val pairs = a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -533,18 +533,12 @@ object SparkEntry {
       // smallest-id claimant of EVERY one of its 16 LSH bands — i.e. no
       // earlier doc shares any band ("dedup against seen", the greedy
       // order-respecting rule a single streaming pass can honor; see
-      // streaming.NearDup for the watermark-bounded stream form). Shape:
+      // streaming.NearDup for the watermark-bounded stream form). The
+      // banding + retention logic is the shared pipeline.Dedup scheme:
       // band-keyed groupBy + equi-join + doc-keyed groupBy — no all-pairs
       // stage, partial aggregation map-side throughout.
-      val docs = t(s, d, "documents").select(col("doc_id"),
-        gf.minhash(gf.word_shingles(col("text"), lit(3)), lit(64), lit(7L)).as("sig"))
-      val banded = docs.select(col("doc_id"),
-        explode(gf.lsh_bands(col("sig"), lit(4))).as("band"))
-      val owner = banded.groupBy(col("band")).agg(min(col("doc_id")).as("owner"))
-      banded.join(owner, Seq("band"))
-        .groupBy(col("doc_id"))
-        .agg(min(when(col("owner") === col("doc_id"), 1).otherwise(0)).as("k"))
-        .select(col("doc_id"), (col("k") === 1).as("kept"))
+      graft.pipeline.Dedup.firstWinsKept(
+        graft.pipeline.Dedup.banded(t(s, d, "documents"), "doc_id"))
     }),
 
     "q64_percentiles" -> ((s, d) => {
@@ -586,15 +580,12 @@ object SparkEntry {
         .partitionBy(col("text")).orderBy(col("doc_id"))
       val exact = gated.withColumn("rn", row_number().over(wText))
         .filter(col("rn") === 1).drop("rn")
-      val banded = exact.select(col("doc_id"),
-        explode(gf.lsh_bands(
-          gf.minhash(gf.word_shingles(col("text"), lit(3)), lit(64), lit(7L)),
-          lit(4))).as("band"))
-      val owner = banded.groupBy(col("band")).agg(min(col("doc_id")).as("owner"))
-      val nearIds = banded.join(owner, Seq("band"))
-        .groupBy(col("doc_id"))
-        .agg(min(when(col("owner") === col("doc_id"), 1).otherwise(0)).as("k"))
-        .filter(col("k") === 1).select(col("doc_id"))
+      // near-dup stage = the shared pipeline.Dedup first-wins rule over
+      // the survivor set (gate guarantees >= 20 tokens, so the helper's
+      // short-doc exclusion is vacuous here)
+      val nearIds = graft.pipeline.Dedup
+        .firstWinsKept(graft.pipeline.Dedup.banded(exact, "doc_id"))
+        .filter(col("kept")).select(col("doc_id"))
       val near = exact.join(nearIds, Seq("doc_id"))
       val bucket = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long") % 1000
       val sampled = near.filter(
@@ -1322,8 +1313,17 @@ object SparkEntry {
        |shh AS (SELECT doc_id, ${fnvSql("s")} AS h FROM sh),
        |slots AS (SELECT * FROM (VALUES $oracleMinhashSlotValues) k(j, kj)),
        |sig AS (
-       |  SELECT doc_id, j, min(${mix64Sql("xor(h, kj)")}) AS g
-       |  FROM shh CROSS JOIN slots GROUP BY doc_id, j),
+       |  -- the engine's min is over SIGNED longs (TextOps.minHash compares
+       |  -- Long), so take the min in the sign-adjusted domain and map the
+       |  -- winner back to unsigned for band-byte extraction
+       |  SELECT doc_id, j,
+       |    CASE WHEN gs < 0 THEN gs + $Wrap64 ELSE gs END AS g
+       |  FROM (
+       |    SELECT doc_id, j, min(CASE WHEN g0 >= 9223372036854775808::HUGEINT
+       |        THEN g0 - $Wrap64 ELSE g0 END) AS gs
+       |    FROM (SELECT doc_id, j, ${mix64Sql("xor(h, kj)")} AS g0
+       |          FROM shh CROSS JOIN slots)
+       |    GROUP BY doc_id, j)),
        |bands AS (
        |  SELECT doc_id, (j // 4) AS b, list(g ORDER BY j) AS vs
        |  FROM sig GROUP BY doc_id, (j // 4)),

@@ -53,6 +53,10 @@ object Fixtures {
     * Idempotent byte-for-byte (pure function of the seed). */
   def warcDir(): String = {
     val dir = java.nio.file.Paths.get(Root, "warc")
+    // clear first: Warc.read globs *.warc*, so any stale extra segment
+    // from an older build would be parsed while the oracle reads only
+    // seg-00000.warc at fixed offsets
+    deleteRecursively(dir.toFile)
     java.nio.file.Files.createDirectories(dir)
     java.nio.file.Files.write(dir.resolve("seg-00000.warc"),
       Warc.writeWarc(warcRecords()))

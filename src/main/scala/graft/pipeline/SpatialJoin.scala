@@ -311,7 +311,8 @@ object SpatialJoin {
     // case a LocalRelation (nothing pinned in the CacheManager, rows are
     // (url, lon, lat) only) while a polar-heavy slice or mischosen
     // level/radius — where the certificate certifies nothing and the
-    // uncertain set approaches the whole input — falls back to persist()
+    // uncertain set approaches the whole input — falls back to an
+    // executor-side localCheckpoint (auto-released when unreferenced)
     // instead of collecting an unbounded set onto the driver.
     val uncertain1 = graft.sources.Storage.localizeOrPersist(pages.join(
       cert1.select(col("url")).distinct(), Seq("url"), "left_anti"), maxLocalRows)

@@ -46,17 +46,23 @@ object Storage {
    * collects an unbounded set: a `limit(maxLocalRows + 1)` probe collects
    * at most maxLocalRows + 1 rows — if everything arrived, that IS the
    * relation and it becomes a LocalRelation (nothing pinned in the
-   * CacheManager); otherwise the frame is persist()ed instead, trading a
-   * CacheManager entry for driver safety. Callers on the persist path own
-   * the lifetime (for a within-query intermediate the entry dies with the
-   * session; a long-lived service would unpersist after the action).
+   * CacheManager); otherwise the frame is `localCheckpoint`ed instead:
+   * eagerly materialized to executor storage with its lineage TRUNCATED
+   * (each downstream branch reads the materialized blocks, not the build
+   * plan), and — unlike a bare `persist()` — the blocks are released by
+   * the ContextCleaner as soon as the returned frame is unreferenced, so
+   * repeated calls in a long-lived session cannot accumulate pinned
+   * CacheManager entries. (localCheckpoint is non-reliable: an executor
+   * loss drops the blocks and fails the query; a production deployment
+   * that must survive executor loss would use `checkpoint()` with a
+   * reliable dir — same call shape.)
    */
   def localizeOrPersist(df: DataFrame, maxLocalRows: Int): DataFrame = {
     val probe = df.limit(maxLocalRows + 1).collect()
     if (probe.length <= maxLocalRows)
       df.sparkSession.createDataFrame(java.util.Arrays.asList(probe: _*), df.schema)
     else
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.localCheckpoint()
   }
 }
 

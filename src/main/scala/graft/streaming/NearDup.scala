@@ -49,13 +49,13 @@ object NearDup {
     val spark = docs.sparkSession
     import spark.implicits._
     gf.registerAll(spark)
-    docs
-      .select(col("doc_id").cast("long").as("doc_id"),
-        col("ts").cast("timestamp").as("ts"),
-        explode(gf.lsh_bands(
-          gf.minhash(gf.word_shingles(col("text"), lit(3)), lit(64), lit(7L)),
-          lit(4))).as("band"))
-      .withWatermark("ts", watermark)
+    // banding = the SHARED pipeline.Dedup scheme (same shingles, slots,
+    // bands — and the same short-doc exclusion — as batch q63/q65)
+    graft.pipeline.Dedup.banded(
+        docs.select(col("doc_id").cast("long").as("doc_id"),
+          col("ts").cast("timestamp").as("ts"), col("text"))
+          .withWatermark("ts", watermark),
+        "doc_id", "ts")
       .select(col("band"), col("doc_id"), col("ts"), expr("unix_micros(ts)").as("ts_us"))
       .as[BandEvent]
       .groupByKey(_.band)
@@ -94,6 +94,11 @@ object NearDup {
     // micro-batch's own input rows (ts >= watermark by definition) and
     // the timeout path emits nothing — so every claim reaches the agg in
     // the same batch it was created, before the watermark next advances.
+    // CAVEAT — the flag is SESSION-GLOBAL (Spark has no per-query form)
+    // and the check runs at query START, so it cannot be restored here:
+    // other chained-stateful queries started in the same session lose the
+    // guard too. A session running unrelated FMGWS->agg pipelines should
+    // re-enable it after starting this query.
     docs.sparkSession.conf
       .set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     bandClaims(docs, watermark, ttlMillis).toDF()
