@@ -541,6 +541,48 @@ object SparkEntry {
         graft.pipeline.Dedup.banded(t(s, d, "documents"), "doc_id"))
     }),
 
+    "q68_chunking" -> ((s, d) => {
+      // token-window chunking for training: windows of 64 tokens at
+      // stride 48 (16-token overlap), final partial window kept — the
+      // split a pretraining tokenizer pipeline feeds from. Pure map-side
+      // array math (sequence + slice inside one projection); at 10^12
+      // docs this is a single scan with no shuffle.
+      val tk = split(trim(col("text")), "\\s+")
+      t(s, d, "documents")
+        .select(col("doc_id"), tk.as("tk"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), size(col("tk")) - 1, lit(48)),
+            st => slice(col("tk"), st + 1, lit(64)))).as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"),
+          size(col("chunk")).as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+    }),
+
+    "q69_token_packing" -> ((s, d) => {
+      // deterministic token-budget packing: docs sharded by a replayable
+      // content-independent hash (q53's md5-bucket machinery over the id),
+      // then assigned to training batches inside each shard by EXCLUSIVE
+      // prefix token count — batch = floor(tokens_before / budget). This
+      // is the order-respecting rule a distributed window computes with
+      // no driver state; a batch can overshoot the budget by at most one
+      // document (exact first-fit is inherently sequential — documented
+      // tradeoff, not an accident). Shuffles once, on the shard key.
+      val budget = 2000L
+      val nToks = size(split(trim(col("text")), "\\s+")).cast("long")
+      val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 8
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "documents")
+        .select(col("doc_id"), nToks.as("n_toks"), shard.as("shard"))
+        .withColumn("batch_id",
+          floor((sum(col("n_toks")).over(w) - col("n_toks")) / lit(budget)))
+        .groupBy(col("shard"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+    }),
+
     "q64_percentiles" -> ((s, d) => {
       // exact linear-interpolation percentiles of document length per
       // language — the distribution profile a curation pass reports.
@@ -1977,6 +2019,41 @@ object SparkEntry {
          |    '$PiiPhone', '<PHONE>', 'g'),
          |    '$PiiIp', '<IP>', 'g')) AS redacted_md5
          |FROM withpii""".stripMargin,
+
+    // same windows: starts 0,48,96,... over the token list, width 64,
+    // DuckDB's 1-based inclusive list slice == Spark's slice(arr, st+1, 64)
+    "q68_chunking" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        |ch AS (
+        |  SELECT doc_id, g.i AS start_i,
+        |    tk[g.i + 1 : least(g.i + 64, len(tk))] AS chunk,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY g.i) - 1 AS chunk_idx
+        |  FROM tk, unnest(generate_series(0, len(tk) - 1, 48)) AS g(i))
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(len(chunk) AS INT) AS n_tokens,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+        |FROM ch""".stripMargin,
+
+    // exclusive-prefix batch assignment replayed with the same md5 shard
+    "q69_token_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
+        |    list_reduce(list_transform(
+        |      string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (acc, d) -> acc * 16 + d) % 8 AS shard
+        |  FROM documents),
+        |b AS (
+        |  SELECT shard, doc_id, n_toks,
+        |    CAST(floor((sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_toks) / 2000.0) AS BIGINT) AS batch_id
+        |  FROM t)
+        |SELECT shard, batch_id, count(*) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM b GROUP BY shard, batch_id""".stripMargin,
 
     "q64_percentiles" ->
       """SELECT lang, count(*) AS n_docs,

@@ -376,6 +376,24 @@ class PipelineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.shuffle.partitions", nPartOld)
   }
 
+  test("near-dup banding excludes empty-shingle docs (no sentinel collisions)") {
+    graft.functions.registerAll(spark)
+    // docs 1-2 have < 3 tokens: TextOps.minHash would give both the same
+    // all-Long.MaxValue sentinel signature, so without the exclusion they
+    // would spuriously band-collide and doc 2 would be "deduped" against
+    // an unrelated two-word doc
+    val docs = Seq(
+      (1L, "one two"), (2L, "ab"),
+      (3L, "x y z w v u t s q r"),
+      (4L, "three words here more ok yes fine")).toDF("doc_id", "text")
+    val banded = Dedup.banded(docs, "doc_id")
+    val ids = banded.select($"doc_id").distinct().as[Long].collect().toSet
+    assert(ids == Set(3L, 4L), s"short docs must not produce bands: $ids")
+    val kept = Dedup.firstWinsKept(banded)
+      .filter($"kept").select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L), s"distinct texts must both survive: $kept")
+  }
+
   test("bucketed interval join: equals the theta join, plans as an equi-join") {
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
       .select($"event_id", $"ts", $"user_id")
