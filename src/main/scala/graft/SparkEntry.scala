@@ -546,13 +546,17 @@ object SparkEntry {
       // stride 48 (16-token overlap), final partial window kept — the
       // split a pretraining tokenizer pipeline feeds from. Pure map-side
       // array math (sequence + slice inside one projection); at 10^12
-      // docs this is a single scan with no shuffle.
+      // docs this is a single scan with no shuffle. A start s > 0 adds
+      // new tokens only while the PREVIOUS window stopped short of the
+      // end (prev covered up to s + 16), so starts stop at n - 17 — a
+      // trailing subset window would be a pure duplicate training sample
+      // (12% of chunks on the fixture before this guard).
       val tk = split(trim(col("text")), "\\s+")
       t(s, d, "documents")
         .select(col("doc_id"), tk.as("tk"))
         .select(col("doc_id"),
           posexplode(transform(
-            sequence(lit(0), size(col("tk")) - 1, lit(48)),
+            sequence(lit(0), greatest(size(col("tk")) - 17, lit(0)), lit(48)),
             st => slice(col("tk"), st + 1, lit(64)))).as(Seq("chunk_idx", "chunk")))
         .select(col("doc_id"), col("chunk_idx"),
           size(col("chunk")).as("n_tokens"),
@@ -576,8 +580,11 @@ object SparkEntry {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       t(s, d, "documents")
         .select(col("doc_id"), nToks.as("n_toks"), shard.as("shard"))
-        .withColumn("batch_id",
-          floor((sum(col("n_toks")).over(w) - col("n_toks")) / lit(budget)))
+        // INTEGER division: float division would misplace batch
+        // boundaries once a shard's prefix sum passes 2^53 tokens
+        .withColumn("tok_before", sum(col("n_toks")).over(w) - col("n_toks"))
+        .withColumn("batch_id", expr(s"tok_before div ${budget}L"))
+        .drop("tok_before")
         .groupBy(col("shard"), col("batch_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"),
           min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
@@ -2029,7 +2036,7 @@ object SparkEntry {
         |  SELECT doc_id, g.i AS start_i,
         |    tk[g.i + 1 : least(g.i + 64, len(tk))] AS chunk,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY g.i) - 1 AS chunk_idx
-        |  FROM tk, unnest(generate_series(0, len(tk) - 1, 48)) AS g(i))
+        |  FROM tk, unnest(generate_series(0, greatest(len(tk) - 17, 0), 48)) AS g(i))
         |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
         |  CAST(len(chunk) AS INT) AS n_tokens,
         |  md5(array_to_string(chunk, ' ')) AS chunk_md5
@@ -2047,8 +2054,8 @@ object SparkEntry {
         |  FROM documents),
         |b AS (
         |  SELECT shard, doc_id, n_toks,
-        |    CAST(floor((sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) - n_toks) / 2000.0) AS BIGINT) AS batch_id
+        |    CAST((sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_toks) // 2000 AS BIGINT) AS batch_id
         |  FROM t)
         |SELECT shard, batch_id, count(*) AS n_docs,
         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,

@@ -314,7 +314,7 @@ object SpatialJoin {
     // uncertain set approaches the whole input — falls back to an
     // executor-side localCheckpoint (auto-released when unreferenced)
     // instead of collecting an unbounded set onto the driver.
-    val uncertain1 = graft.sources.Storage.localizeOrPersist(pages.join(
+    val uncertain1 = graft.sources.Storage.localizeOrCheckpoint(pages.join(
       cert1.select(col("url")).distinct(), Seq("url"), "left_anti"), maxLocalRows)
 
     // stage 2: page-side disk expansion at 4x radius against the
@@ -327,7 +327,7 @@ object SpatialJoin {
         .withColumn("cell", explode(disk_cells(cell_id(col("lon"), col("lat"), lit(level)), lit(r2))))
         .join(broadcast(centCells), "cell"),
       r2)
-    val uncertain2 = graft.sources.Storage.localizeOrPersist(uncertain1.join(
+    val uncertain2 = graft.sources.Storage.localizeOrCheckpoint(uncertain1.join(
       cert2.select(col("url")).distinct(), Seq("url"), "left_anti"), maxLocalRows)
 
     // stage 3: exact brute tail, size surfaced as an observed metric so

@@ -57,7 +57,7 @@ object Storage {
    * that must survive executor loss would use `checkpoint()` with a
    * reliable dir — same call shape.)
    */
-  def localizeOrPersist(df: DataFrame, maxLocalRows: Int): DataFrame = {
+  def localizeOrCheckpoint(df: DataFrame, maxLocalRows: Int): DataFrame = {
     val probe = df.limit(maxLocalRows + 1).collect()
     if (probe.length <= maxLocalRows)
       df.sparkSession.createDataFrame(java.util.Arrays.asList(probe: _*), df.schema)

@@ -156,18 +156,21 @@ object Warc {
         val hp = new org.apache.hadoop.fs.Path(p)
         val raw = new java.io.BufferedInputStream(
           hp.getFileSystem(conf.value).open(hp), 1 << 16)
+        // parseStream closes on EOF/parse-error, but a consumer that stops
+        // early (limit/take, a join that quits pulling) abandons the
+        // iterator mid-file — close at task end so the handle can't leak.
+        // Registered on `raw` BEFORE the gzip wrap: GZIPInputStream's
+        // constructor eagerly reads the header and throws on a truncated
+        // file, and closing raw releases the whole chain either way.
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+          try raw.close() catch { case _: java.io.IOException => () }
+        }
         val in =
           if (p.endsWith(".gz"))
             new java.io.BufferedInputStream(
               new java.util.zip.GZIPInputStream(raw), 1 << 16)
           else raw
-        // parseStream closes on EOF/parse-error, but a consumer that stops
-        // early (limit/take, a join that quits pulling) abandons the
-        // iterator mid-file — close at task end so the handle can't leak
-        val tc = org.apache.spark.TaskContext.get()
-        if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
-          try in.close() catch { case _: java.io.IOException => () }
-        }
         parseStream(in)
       }
   }

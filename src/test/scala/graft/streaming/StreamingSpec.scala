@@ -199,16 +199,12 @@ class StreamingSpec extends AnyFunSuite {
       .select($"doc_id", $"text")
       .unionByName(Seq((sentinelId, "sentinel far future doc")).toDF("doc_id", "text"))
       .select($"doc_id", expr(s"timestamp_millis($base + doc_id * 1000)").as("ts"), $"text")
-    // batch expected: q63's rule over the SAME augmented input (so any
-    // band collision with the sentinel affects both sides identically)
-    val banded = docs.select($"doc_id",
-      explode(gf.lsh_bands(gf.minhash(gf.word_shingles($"text", lit(3)), lit(64), lit(7L)),
-        lit(4))).as("band"))
-    val owner = banded.groupBy($"band").agg(min($"doc_id").as("owner"))
-    val expected = banded.join(owner, Seq("band"))
-      .groupBy($"doc_id")
-      .agg(min(when($"owner" === $"doc_id", 1).otherwise(0)).as("k"))
-      .filter($"k" === 1 && $"doc_id" =!= sentinelId)
+    // batch expected: the SHARED Dedup scheme over the SAME augmented
+    // input — the single-definition invariant means this replica can
+    // never drift from what the stream under test computes
+    val expected = graft.pipeline.Dedup
+      .firstWinsKept(graft.pipeline.Dedup.banded(docs, "doc_id"))
+      .filter($"kept" && $"doc_id" =!= sentinelId)
       .select($"doc_id").as[Long].collect().toSet
     val dir = Files.createTempDirectory("graft-neardup").toString
     docs.write.parquet(s"$dir/in")
