@@ -541,6 +541,31 @@ object SparkEntry {
         graft.pipeline.Dedup.banded(t(s, d, "documents"), "doc_id"))
     }),
 
+    "q70_decontamination" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // test-set decontamination: flag every training doc sharing >= 1
+      // hashed word 5-gram with the eval set — the step a pretraining
+      // pipeline runs so benchmark text never leaks into training data.
+      // The eval fixture is a deterministic 10-token slice of every 25th
+      // doc (both engines derive it identically). Shape: inverted-index
+      // equi-join on the gram hash with the tiny eval side BROADCAST —
+      // the training side streams map-side; never an all-pairs stage.
+      val docs = t(s, d, "documents")
+      val evalDf = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("eval_id"),
+          concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 6, 10)).as("etext"))
+      val eg = evalDf.select(col("eval_id"),
+        explode(gf.hashed_word_shingles(col("etext"), lit(5))).as("g")).distinct()
+      val tg = docs.select(col("doc_id"),
+        explode(gf.hashed_word_shingles(col("text"), lit(5))).as("g")).distinct()
+      val hits = tg.join(broadcast(eg), Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("eval_id")).as("h"))
+      docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("h"), lit(0L)).as("n_eval_hits"))
+        .withColumn("contaminated", col("n_eval_hits") > 0)
+    }),
+
     "q68_chunking" -> ((s, d) => {
       // token-window chunking for training: windows of 64 tokens at
       // stride 48 (16-token overlap), final partial window kept — the
@@ -2026,6 +2051,33 @@ object SparkEntry {
          |    '$PiiPhone', '<PHONE>', 'g'),
          |    '$PiiIp', '<IP>', 'g')) AS redacted_md5
          |FROM withpii""".stripMargin,
+
+    // TextOps.hashedWordShingles replayed: per-token FNV/mix64 hash, then
+    // the rolling h*31+tokHash combine over 5 tokens (mod 2^64), mix64'd;
+    // same every-25th-doc 10-token eval slice, same inverted-index join
+    "q70_decontamination" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |eth AS (
+         |  SELECT doc_id AS eval_id, list_transform(tk[6:15], t -> ${fnvSql("t")}) AS th
+         |  FROM toks WHERE doc_id % 25 = 0),
+         |eg AS (
+         |  SELECT DISTINCT eval_id, g FROM (
+         |    SELECT eval_id, unnest(list_transform(generate_series(1, greatest(len(th) - 4, 0)),
+         |      i -> ${mix64Sql(s"list_reduce(list_prepend(14695981039346656037::HUGEINT, th[i : i + 4]), (a, b) -> (${mulmod64("a", "31::HUGEINT")} + b) % $Wrap64)")})) AS g
+         |    FROM eth)),
+         |tth AS (SELECT doc_id, list_transform(tk, t -> ${fnvSql("t")}) AS th FROM toks),
+         |tg AS (
+         |  SELECT DISTINCT doc_id, g FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(th) - 4, 0)),
+         |      i -> ${mix64Sql(s"list_reduce(list_prepend(14695981039346656037::HUGEINT, th[i : i + 4]), (a, b) -> (${mulmod64("a", "31::HUGEINT")} + b) % $Wrap64)")})) AS g
+         |    FROM tth)),
+         |hits AS (
+         |  SELECT doc_id, count(DISTINCT eval_id) AS h
+         |  FROM tg JOIN eg USING (g) GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(coalesce(h.h, 0) AS BIGINT) AS n_eval_hits,
+         |  coalesce(h.h, 0) > 0 AS contaminated
+         |FROM toks t LEFT JOIN hits h ON h.doc_id = t.doc_id""".stripMargin,
 
     // same windows: starts 0,48,96,... over the token list, width 64,
     // DuckDB's 1-based inclusive list slice == Spark's slice(arr, st+1, 64)
