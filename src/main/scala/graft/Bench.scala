@@ -110,12 +110,16 @@ object Bench {
     Seq("q01_pricing_summary", "q14_tile_assign", "q40_course_assign").foreach { q =>
       try SparkEntry.queries(q)(spark, sfDir).count() catch { case _: Throwable => }
     }
+    // failures must be visible IN THE ARTIFACT, not only on stderr — a
+    // query that throws quickly would otherwise print as a stable fast
+    // success and improve the total
+    val failed = scala.collection.mutable.SortedSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runsPer).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          -1L
+          failed += name
         }
         (System.nanoTime() - t0) / 1e9
       }
@@ -128,6 +132,7 @@ object Bench {
     val total = results.map { case (_, ts) => median(ts) }.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","timing":"median_of_$runsPer","runs":$runsPer,""" +
+        s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
         s""""queries":${obj(median)},"query_min":${obj(_.min)},"sf":"$sfDir",""" +
         s""""flagship_pages":$nPages,"flagship_assignments":$nAssign,""" +
         s""""spatial_join_pages_per_sec":${(nPages / joinSec).toLong},""" +

@@ -645,22 +645,29 @@ object SparkEntry {
       val toks = split(trim(col("text")), "\\s+")
       val nToks = size(toks)
       val docs = t(s, d, "documents")
+      // each stage feeds BOTH the next stage and its own funnel join —
+      // localCheckpoint is the materialization point (CLAUDE.md's
+      // multi-consumer rule), executor-side and lineage-truncating, so
+      // the gate chain / window dedup / banding each run ONCE instead of
+      // once per consumer (and nothing is collected to the driver)
       val gated = docs
         .filter(nToks >= 20 && nToks <= 1000 &&
           size(filter(toks, tk => tk.isInCollection(stop))).cast("double") /
             nToks.cast("double") >= 0.01 &&
           size(array_distinct(toks)).cast("double") / nToks.cast("double") >= 0.3)
+        .localCheckpoint()
       val wText = org.apache.spark.sql.expressions.Window
         .partitionBy(col("text")).orderBy(col("doc_id"))
       val exact = gated.withColumn("rn", row_number().over(wText))
         .filter(col("rn") === 1).drop("rn")
+        .localCheckpoint()
       // near-dup stage = the shared pipeline.Dedup first-wins rule over
       // the survivor set (gate guarantees >= 20 tokens, so the helper's
       // short-doc exclusion is vacuous here)
       val nearIds = graft.pipeline.Dedup
         .firstWinsKept(graft.pipeline.Dedup.banded(exact, "doc_id"))
         .filter(col("kept")).select(col("doc_id"))
-      val near = exact.join(nearIds, Seq("doc_id"))
+      val near = exact.join(nearIds, Seq("doc_id")).localCheckpoint()
       val bucket = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long") % 1000
       val sampled = near.filter(
         bucket < when(col("lang") === "en", lit(250)).otherwise(lit(1000)))
@@ -985,19 +992,24 @@ object SparkEntry {
     }),
 
     "q43_clip_join" -> ((s, d) => {
-      // clip_area is quantized to a fixed 1e-12 deg^2 grid (~6-7 significant
-      // digits at these hole sizes) and sub-quantum rows are dropped on BOTH
-      // sides: the engine (Greiner-Hormann true boundaries / triangulated
-      // fallback) and the DuckDB oracle (signed fan decomposition x S-H
-      // triangle clipping) compute the SAME exact real area by different
-      // float decompositions, agreeing to ~1e-17 in the boundary-local
-      // frame — far inside the quantum, so the integer compare is stable
+      // clip_area is quantized to a fixed 1e-10 deg^2 grid (~1 m^2 — 4-5
+      // significant digits at these hole sizes) and sub-quantum rows are
+      // dropped on BOTH sides: the engine (Greiner-Hormann true boundaries
+      // / triangulated fallback) and the DuckDB oracle (signed fan
+      // decomposition x S-H triangle clipping) compute the SAME exact real
+      // area by different float decompositions, agreeing to ~1e-17..1e-16
+      // in the boundary-local frame. The quantum is chosen so every
+      // candidate sits far from a rounding boundary relative to that
+      // disagreement (measured: min distance 6.5e-4 quanta = 6.5e-14 at
+      // 1e-10, vs only 8.3e-17 at the old 1e-12 grid — same order as the
+      // disagreement, i.e. one re-roll from a red hash); the margin is
+      // PINNED by PipelineSpec's boundary-distance guard.
       val items = itemsDf(s)
       CourseEngine.clippedPolygons(items, CourseEngine.boundaries(items))
         .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemSeq"),
           col("itemType"),
-          floor(col("clip_area") * lit(1e12) + lit(0.5)).cast("long").as("clip_area_e12"))
-        .filter(col("clip_area_e12") >= 1)
+          floor(col("clip_area") * lit(1e10) + lit(0.5)).cast("long").as("clip_area_e10"))
+        .filter(col("clip_area_e10") >= 1)
     }),
 
     "q44_drawlist" -> ((s, d) => {
@@ -2209,7 +2221,7 @@ object SparkEntry {
     // Sutherland–Hodgman and measured by shoelace. No triangulation,
     // piece structure, or clip algorithm is shared with the engine's
     // Greiner–Hormann path — only the exact real value, compared on a
-    // 1e-12 quantum both sides round to (see the q43 query comment).
+    // 1e-10 quantum both sides round to (see the q43 query comment).
     "q43_clip_join" -> ("WITH " + clipCandsCtes + s""",
       |tris AS (
       |  SELECT clubId, courseId, holeNumber, itemSeq, itemType,
@@ -2233,10 +2245,10 @@ object SparkEntry {
       |      (acc, v) -> acc + v) END AS da
       |  FROM c3)
       |SELECT clubId, courseId, holeNumber, itemSeq, itemType,
-      |  CAST(floor(sum(da) * 1e12 + 0.5) AS BIGINT) AS clip_area_e12
+      |  CAST(floor(sum(da) * 1e10 + 0.5) AS BIGINT) AS clip_area_e10
       |FROM contrib
       |GROUP BY clubId, courseId, holeNumber, itemSeq, itemType
-      |HAVING CAST(floor(sum(da) * 1e12 + 0.5) AS BIGINT) >= 1""".stripMargin),
+      |HAVING CAST(floor(sum(da) * 1e10 + 0.5) AS BIGINT) >= 1""".stripMargin),
 
     // the full draw list re-derived: boundary rows from the literal dim;
     // polygon rows kept iff the item/boundary interiors truly intersect

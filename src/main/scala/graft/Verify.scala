@@ -16,8 +16,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional comma-separated query filter for local iteration
-    // (e.g. SPARK_GRAFT_ONLY=q43_clip_join,q44_drawlist); driver unset = all
+    // (e.g. SPARK_GRAFT_ONLY=q43_clip_join,q44_drawlist); driver unset = all.
+    // Every requested name must exist — a typo would otherwise filter the
+    // set to zero and exit success having verified nothing.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

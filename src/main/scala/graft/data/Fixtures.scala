@@ -5,17 +5,31 @@ import graft.sources.Warc
 
 /**
  * Deterministic on-disk fixtures for the driver-visible SOURCE queries
- * (q59 JSONL scan, q60 WARC ingest, q61 snapshot time-travel). Each
- * builder rewrites its fixture on every call — content is a pure function
- * of the seed, so the driver's Verify run and the DuckDB oracle (which
- * reads the same absolute path) always see identical bytes, and a stale
- * directory from an earlier round can't leak in.
+ * (q59 JSONL scan, q60 WARC ingest, q61 snapshot time-travel). Content is
+ * a pure function of the seed; each builder writes once per JVM (memoized)
+ * into a PROCESS-SCOPED root, so concurrent driver runs (e.g. the two
+ * Verify processes of the partitioning-invariance check) can never race on
+ * a shared path, a stale directory from an earlier round can't leak in,
+ * and repeated bench runs don't re-pay fixture I/O inside timed sections.
  */
 object Fixtures {
 
-  /** Fixed absolute root: the oracle SQL strings must name the same path
-    * the engine wrote, regardless of either process's cwd. */
-  val Root = "/tmp/graft_fixtures"
+  /** Absolute per-process root: the oracle SQL strings are built in the
+    * same JVM that writes the fixtures, so they embed this exact path —
+    * and the driver's DuckDB pass reads oracle_sql.json afterwards, so
+    * the files must simply outlive the run (they do; /tmp). NOTE for
+    * targeted re-dumps (SPARK_GRAFT_ONLY): oracle_sql.json always carries
+    * THIS process's path, so source-query dumps from an earlier process
+    * will no longer match — include q59/q60 in the filter, or pin
+    * SPARK_GRAFT_FIXTURE_ROOT to reuse a fixed directory. */
+  val Root = sys.env.getOrElse("SPARK_GRAFT_FIXTURE_ROOT",
+    s"/tmp/graft_fixtures_${ProcessHandle.current().pid()}")
+
+  /** Build-once-per-JVM memo (builders are called from every
+    * `SparkEntry.queries` evaluation, including 3x-repeated bench runs). */
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def once(key: String)(build: => Unit): Unit =
+    if (built.add(key)) build
 
   // -------------------------------------------------------------------
   // q59 — reference-shaped JSONL course layouts (S1's real input format,
@@ -24,7 +38,7 @@ object Fixtures {
   // -------------------------------------------------------------------
   def jsonlDir(spark: SparkSession, nCourses: Int): String = {
     val dir = s"$Root/layouts_jsonl"
-    Courses.writeJsonl(spark, dir, nCourses)
+    once(s"$dir#$nCourses") { Courses.writeJsonl(spark, dir, nCourses) }
     dir
   }
 
@@ -53,13 +67,16 @@ object Fixtures {
     * Idempotent byte-for-byte (pure function of the seed). */
   def warcDir(): String = {
     val dir = java.nio.file.Paths.get(Root, "warc")
-    // clear first: Warc.read globs *.warc*, so any stale extra segment
-    // from an older build would be parsed while the oracle reads only
-    // seg-00000.warc at fixed offsets
-    deleteRecursively(dir.toFile)
-    java.nio.file.Files.createDirectories(dir)
-    java.nio.file.Files.write(dir.resolve("seg-00000.warc"),
-      Warc.writeWarc(warcRecords()))
+    once(dir.toString) {
+      // clear first: Warc.read globs *.warc*, so a stale extra segment
+      // would be parsed while the oracle reads only seg-00000.warc at
+      // fixed offsets (the per-process Root makes this a fresh dir in
+      // practice; the delete is belt-and-braces)
+      deleteRecursively(dir.toFile)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("seg-00000.warc"),
+        Warc.writeWarc(warcRecords()))
+    }
     dir.toString
   }
 
@@ -86,13 +103,18 @@ object Fixtures {
   // -------------------------------------------------------------------
   def snapshotTable(spark: SparkSession, sfDir: String): String = {
     import org.apache.spark.sql.functions.col
-    val dir = s"$Root/snap_nation"
-    deleteRecursively(new java.io.File(dir))
-    val nation = spark.read.parquet(s"$sfDir/nation.parquet")
-    val v1 = graft.sources.Snapshots.commit(nation, dir)
-    val v2 = graft.sources.Snapshots.commit(
-      nation.filter(col("n_nationkey") < 10), dir) // fast-append
-    require(v1 == 1L && v2 == 2L, s"fresh table must commit v1,v2 — got $v1,$v2")
+    // dir scoped by scale: a JVM driving multiple scales must not serve
+    // (or clobber) one scale's table for another — the q61 oracle never
+    // references this path, so it can vary freely
+    val dir = s"$Root/snap_nation_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    once(s"$dir#$sfDir") {
+      deleteRecursively(new java.io.File(dir))
+      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      val v1 = graft.sources.Snapshots.commit(nation, dir)
+      val v2 = graft.sources.Snapshots.commit(
+        nation.filter(col("n_nationkey") < 10), dir) // fast-append
+      require(v1 == 1L && v2 == 2L, s"fresh table must commit v1,v2 — got $v1,$v2")
+    }
     dir
   }
 

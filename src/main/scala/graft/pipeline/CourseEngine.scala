@@ -80,8 +80,9 @@ object CourseEngine {
     * translated by the boundary's first vertex): at lon ~ 116 the clip
     * arithmetic's crossing points carry ~1e-14 absolute error, while in
     * the local frame (coords ~1e-3) the same ops are accurate to ~1e-19 —
-    * the difference between a clip area reproducible by an independent
-    * engine to a 1e-12 quantum and one that drifts at 1e-10. The output
+    * the difference between a clip area an independent engine reproduces
+    * to ~1e-16 and one that drifts at 1e-10 (q43 compares on a 1e-10
+    * grid; the boundary margin is pinned in PipelineSpec). The output
     * geometry is translated back (a <=1-ulp-of-longitude effect,
     * irrelevant to rendering); `clip_area` is measured in the local
     * frame. */

@@ -159,18 +159,21 @@ object Warc {
         // parseStream closes on EOF/parse-error, but a consumer that stops
         // early (limit/take, a join that quits pulling) abandons the
         // iterator mid-file — close at task end so the handle can't leak.
-        // Registered on `raw` BEFORE the gzip wrap: GZIPInputStream's
-        // constructor eagerly reads the header and throws on a truncated
-        // file, and closing raw releases the whole chain either way.
+        // The listener is registered BEFORE the gzip wrap (its constructor
+        // eagerly reads the header and throws on a truncated file) and
+        // closes the OUTERMOST stream reached: closing the gzip wrapper
+        // releases the Inflater's native buffers too, not just the fd.
+        val outermost = new java.util.concurrent.atomic.AtomicReference[java.io.InputStream](raw)
         val tc = org.apache.spark.TaskContext.get()
         if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
-          try raw.close() catch { case _: java.io.IOException => () }
+          try outermost.get().close() catch { case _: java.io.IOException => () }
         }
         val in =
           if (p.endsWith(".gz"))
             new java.io.BufferedInputStream(
               new java.util.zip.GZIPInputStream(raw), 1 << 16)
           else raw
+        outermost.set(in)
         parseStream(in)
       }
   }

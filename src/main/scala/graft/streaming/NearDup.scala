@@ -86,7 +86,8 @@ object NearDup {
    * support), emitting each retained doc exactly once.
    */
   def kept(docs: DataFrame, watermark: String = "1 hour",
-           ttlMillis: Long = 3600000L, window: String = "10 minutes"): DataFrame = {
+           ttlMillis: Long = 3600000L, window: String = "10 minutes",
+           disableChainedStateCheck: Boolean = true): DataFrame = {
     // Spark's chained-stateful correctness check flags ANY FMGWS feeding a
     // stateful agg, because an FMGWS MAY emit rows older than the
     // watermark (e.g. on timeout) that the agg would silently drop as
@@ -96,11 +97,13 @@ object NearDup {
     // the same batch it was created, before the watermark next advances.
     // CAVEAT — the flag is SESSION-GLOBAL (Spark has no per-query form)
     // and the check runs at query START, so it cannot be restored here:
-    // other chained-stateful queries started in the same session lose the
-    // guard too. A session running unrelated FMGWS->agg pipelines should
-    // re-enable it after starting this query.
-    docs.sparkSession.conf
-      .set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // the default mutates the session for every later chained-stateful
+    // query. A session that also runs FMGWS->agg pipelines relying on the
+    // guard should pass disableChainedStateCheck = false and manage the
+    // flag itself around this query's start().
+    if (disableChainedStateCheck)
+      docs.sparkSession.conf
+        .set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     bandClaims(docs, watermark, ttlMillis).toDF()
       .select(col("doc_id"), expr("timestamp_micros(ts_us)").as("ts"), col("first"))
       .withWatermark("ts", watermark)

@@ -153,6 +153,25 @@ class PipelineSpec extends AnyFunSuite {
       assert(a == engine(k), s"clip_area differs for $k: jvm=$a engine=${engine(k)}")
     }
     assert(engine.nonEmpty)
+    // guard the q43 quantization scheme itself: the engine and the DuckDB
+    // fan-decomposition oracle agree to ~1e-17..1e-16 deg^2 but are
+    // different float decompositions, so a clip area sitting within that
+    // slack of a rounding boundary could quantize to different integers on
+    // a fixture re-roll. Pin that the CURRENT fixture keeps every area at
+    // least 100x the worst measured disagreement (1e-14 deg^2 = 1e-4
+    // quanta at the 1e-10 grid) away from the boundary — a re-roll into
+    // the fragile zone fails HERE with a clear message instead of as an
+    // opaque red hash in CORRECTNESS. (This guard is what caught the old
+    // 1e-12 grid sitting 8.3e-17 from a boundary and forced the 1e-10
+    // choice; measured margin now 6.5e-4 quanta.)
+    candSurvivors.foreach { case (k, a) =>
+      val scaled = a * 1e10 + 0.5
+      val frac = scaled - math.floor(scaled)
+      val distFromBoundary = math.min(frac, 1.0 - frac)
+      assert(distFromBoundary > 1e-4,
+        s"clip area of $k sits ${distFromBoundary} quanta from a rounding boundary " +
+          s"(area=$a) — the q43 1e-10 quantization is not safe for this fixture")
+    }
   }
 
   test("unknown itemType: warn metric counts it, output drops it (P5)") {

@@ -195,7 +195,10 @@ class StreamingSpec extends AnyFunSuite {
     // real doc's window so stage 2 finalizes them all
     val base = java.sql.Timestamp.valueOf("2025-03-01 00:00:00").getTime
     val sentinelId = 999999L
-    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    // sf0.01 (not this spec's sf0.001): the smallest corpus whose planted
+    // near-dups actually band-collide, so the parity check is non-vacuous
+    val dedupCorpus = "/root/testdata/sf0.01/documents.parquet"
+    val docs = spark.read.parquet(dedupCorpus)
       .select($"doc_id", $"text")
       .unionByName(Seq((sentinelId, "sentinel far future doc")).toDF("doc_id", "text"))
       .select($"doc_id", expr(s"timestamp_millis($base + doc_id * 1000)").as("ts"), $"text")
