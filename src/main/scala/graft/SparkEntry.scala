@@ -31,6 +31,10 @@ object SparkEntry {
   /** q66's PII patterns — deliberately restricted to the regex subset
     * where Java regex and RE2 (DuckDB) agree: no backrefs, no lookaround,
     * leftmost-first greedy quantifiers only. */
+  /** q69's per-batch token budget — ONE constant interpolated into both
+    * the Spark query and the DuckDB oracle (shared-constants rule). */
+  private val Q69TokenBudget = 2000L
+
   private val PiiEmail = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private val PiiPhone = """\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"""
   private val PiiIp = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
@@ -551,13 +555,21 @@ object SparkEntry {
       // equi-join on the gram hash with the tiny eval side BROADCAST —
       // the training side streams map-side; never an all-pairs stage.
       val docs = t(s, d, "documents")
+      // eval tokens = NON-EMPTY \s+ tokens of the trimmed text — the
+      // exact TextOps.tokens definition (Java split drops trailing
+      // empties, TextOps drops the leading one; Spark's split keeps
+      // both), so the slice is whitespace-robust, not space-only
+      val evalToks = filter(split(trim(col("text")), "\\s+"), tk => tk =!= "")
       val evalDf = docs.filter(col("doc_id") % 25 === 0)
         .select(col("doc_id").as("eval_id"),
-          concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 6, 10)).as("etext"))
+          concat_ws(" ", slice(evalToks, 6, 10)).as("etext"))
+      // no .distinct() on either gram frame: hashed_word_shingles returns
+      // per-doc SORTED-DISTINCT grams, so (id, g) rows are already unique
+      // — a distinct here would plan a corpus-wide exchange for nothing
       val eg = evalDf.select(col("eval_id"),
-        explode(gf.hashed_word_shingles(col("etext"), lit(5))).as("g")).distinct()
+        explode(gf.hashed_word_shingles(col("etext"), lit(5))).as("g"))
       val tg = docs.select(col("doc_id"),
-        explode(gf.hashed_word_shingles(col("text"), lit(5))).as("g")).distinct()
+        explode(gf.hashed_word_shingles(col("text"), lit(5))).as("g"))
       val hits = tg.join(broadcast(eg), Seq("g"))
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("eval_id")).as("h"))
@@ -597,7 +609,7 @@ object SparkEntry {
       // no driver state; a batch can overshoot the budget by at most one
       // document (exact first-fit is inherently sequential — documented
       // tradeoff, not an accident). Shuffles once, on the shard key.
-      val budget = 2000L
+      val budget = Q69TokenBudget
       val nToks = size(split(trim(col("text")), "\\s+")).cast("long")
       val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
         .cast("long") % 8
@@ -2069,10 +2081,14 @@ object SparkEntry {
 
     // TextOps.hashedWordShingles replayed: per-token FNV/mix64 hash, then
     // the rolling h*31+tokHash combine over 5 tokens (mod 2^64), mix64'd;
-    // same every-25th-doc 10-token eval slice, same inverted-index join
+    // same every-25th-doc 10-token eval slice, same inverted-index join.
+    // Tokens are filtered to NON-EMPTY (TextOps.tokens semantics): trim
+    // strips only spaces, so '\n'/'\t'-padded text would otherwise leave
+    // empty boundary tokens here that the engine never hashes
     "q70_decontamination" ->
       s"""WITH toks AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents),
+         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+         |    t -> t <> '') AS tk FROM documents),
          |eth AS (
          |  SELECT doc_id AS eval_id, list_transform(tk[6:15], t -> ${fnvSql("t")}) AS th
          |  FROM toks WHERE doc_id % 25 = 0),
@@ -2111,9 +2127,9 @@ object SparkEntry {
 
     // exclusive-prefix batch assignment replayed with the same md5 shard
     "q69_token_packing" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_toks,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks,
         |    list_reduce(list_transform(
         |      string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
@@ -2122,7 +2138,7 @@ object SparkEntry {
         |b AS (
         |  SELECT shard, doc_id, n_toks,
         |    CAST((sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
-        |      ROWS UNBOUNDED PRECEDING) - n_toks) // 2000 AS BIGINT) AS batch_id
+        |      ROWS UNBOUNDED PRECEDING) - n_toks) // $Q69TokenBudget AS BIGINT) AS batch_id
         |  FROM t)
         |SELECT shard, batch_id, count(*) AS n_docs,
         |  CAST(sum(n_toks) AS BIGINT) AS total_tokens,
@@ -2520,7 +2536,7 @@ object SparkEntry {
     // S1 JSONL scan: DuckDB's own JSON reader over the same fixture files
     "q59_jsonl_scan" ->
       s"""WITH t AS (
-         |  SELECT * FROM read_json('${graft.data.Fixtures.Root}/layouts_jsonl/*.json')),
+         |  SELECT * FROM read_json('${graft.data.Fixtures.Root}/layouts_jsonl_$NCourses/*.json')),
          |h AS (
          |  SELECT clubId, courseId, g.hn AS holeNumber, t.holes[g.hn] AS hole
          |  FROM t, unnest(generate_series(1, len(t.holes))) AS g(hn))

@@ -25,6 +25,10 @@ object Verify {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_ONLY names unknown queries: ${unknown.toSeq.sorted.mkString(",")}")
     }
+    // oracle_sql.json below is rewritten IN FULL with this process's
+    // fixture paths — build every fixture even when the filter skips the
+    // source queries, or the emitted oracle SQL would name missing files
+    graft.data.Fixtures.ensureAll(spark, sfDir, SparkEntry.NCourses)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

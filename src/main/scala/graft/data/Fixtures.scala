@@ -26,10 +26,13 @@ object Fixtures {
     s"/tmp/graft_fixtures_${ProcessHandle.current().pid()}")
 
   /** Build-once-per-JVM memo (builders are called from every
-    * `SparkEntry.queries` evaluation, including 3x-repeated bench runs). */
-  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    * `SparkEntry.queries` evaluation, including 3x-repeated bench runs).
+    * computeIfAbsent BLOCKS concurrent losers until the winner's build
+    * completes — a non-blocking flag would hand a second thread the path
+    * of a half-written fixture. */
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   private def once(key: String)(build: => Unit): Unit =
-    if (built.add(key)) build
+    built.computeIfAbsent(key, _ => { build; java.lang.Boolean.TRUE })
 
   // -------------------------------------------------------------------
   // q59 — reference-shaped JSONL course layouts (S1's real input format,
@@ -37,9 +40,22 @@ object Fixtures {
   // repo, .MISSING_LARGE_BLOBS:1)
   // -------------------------------------------------------------------
   def jsonlDir(spark: SparkSession, nCourses: Int): String = {
-    val dir = s"$Root/layouts_jsonl"
-    once(s"$dir#$nCourses") { Courses.writeJsonl(spark, dir, nCourses) }
+    // dir scoped by nCourses (like snapshotTable's sfDir scoping): two
+    // course counts in one JVM must not clobber each other's files
+    val dir = s"$Root/layouts_jsonl_$nCourses"
+    once(dir) { Courses.writeJsonl(spark, dir, nCourses) }
     dir
+  }
+
+  /** Build every fixture the oracle SQL references — Verify calls this
+    * UNCONDITIONALLY (even under SPARK_GRAFT_ONLY) because it rewrites
+    * oracle_sql.json in full with THIS process's fixture paths; a
+    * targeted re-dump that skipped q59/q60 would otherwise emit oracle
+    * SQL naming files that were never written. */
+  def ensureAll(spark: SparkSession, sfDir: String, nCourses: Int): Unit = {
+    jsonlDir(spark, nCourses)
+    warcDir()
+    snapshotTable(spark, sfDir)
   }
 
   // -------------------------------------------------------------------
