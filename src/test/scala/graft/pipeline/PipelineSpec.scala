@@ -448,6 +448,96 @@ class PipelineSpec extends AnyFunSuite {
       "theta-join control no longer plans as nested-loop — revisit the premise")
   }
 
+  test("interval join fuzz: random intervals/points match the theta join at any bucket width") {
+    val rnd = new scala.util.Random(41)
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val pts = (0 until 400).map { i =>
+      (i.toLong, new java.sql.Timestamp(base + rnd.nextInt(14 * 86400) * 1000L))
+    }.toDF("pid", "ts")
+    // intervals: sub-bucket, multi-bucket, bucket-aligned, empty, overlapping
+    val ivs = (0 until 60).map { i =>
+      val s = base + rnd.nextInt(14 * 86400) * 1000L
+      val len = rnd.nextInt(5) match {
+        case 0 => 0L                                  // empty (e == s)
+        case 1 => rnd.nextInt(600) * 1000L            // sub-bucket
+        case 2 => 3600L * 1000L                       // exactly one bucket
+        case _ => rnd.nextInt(3 * 86400) * 1000L      // multi-bucket
+      }
+      (s"iv$i", new java.sql.Timestamp(s), new java.sql.Timestamp(s + len))
+    }.toDF("iv_id", "ws", "we")
+    val naive = pts.join(ivs, $"ts" >= $"ws" && $"ts" < $"we")
+      .select($"pid", $"iv_id").as[(Long, String)].collect().toSet
+    assert(naive.nonEmpty)
+    Seq(60L * 1000000L, 3600L * 1000000L, 86400L * 1000000L).foreach { w =>
+      val got = IntervalJoin.pointInInterval(pts, "ts", ivs, "ws", "we", w)
+        .select($"pid", $"iv_id").as[(Long, String)].collect().toSet
+      assert(got == naive, s"bucket width $w: ${got.size} vs ${naive.size}")
+    }
+  }
+
+  test("first-wins retention equals a greedy id-order simulation over the band sets") {
+    graft.functions.registerAll(spark)
+    val rnd = new scala.util.Random(17)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    // controlled duplicates: each doc is either a fresh random text or a
+    // lightly-perturbed copy of an earlier one (near-dups that band-collide)
+    val texts = scala.collection.mutable.ArrayBuffer.empty[String]
+    (0 until 60).foreach { i =>
+      if (i > 0 && rnd.nextInt(3) == 0) {
+        val srcToks = texts(rnd.nextInt(i)).split(" ").toBuffer
+        srcToks(rnd.nextInt(srcToks.length)) = vocab(rnd.nextInt(vocab.length))
+        texts += srcToks.mkString(" ")
+      } else texts += Seq.fill(12 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq
+      .toDF("doc_id", "text")
+    val banded = Dedup.banded(docs, "doc_id")
+    val kept = Dedup.firstWinsKept(banded)
+      .filter($"kept").select($"doc_id").as[Long].collect().toSet
+    // greedy reference: walk docs in id order, a doc survives iff none of
+    // its bands was claimed by ANY earlier doc ("dedup against seen")
+    val bandsById = banded.as[(Long, Long)].collect().groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val seen = scala.collection.mutable.Set.empty[Long]
+    val expected = bandsById.keys.toSeq.sorted.filter { id =>
+      val bs = bandsById(id)
+      val fresh = !bs.exists(seen.contains)
+      seen ++= bs
+      fresh
+    }.toSet
+    assert(kept == expected,
+      s"onlyEngine=${(kept -- expected).take(5)} onlyGreedy=${(expected -- kept).take(5)}")
+    assert(expected.size < bandsById.size, "fixture produced no duplicates to drop")
+  }
+
+  test("q68 chunk windows: full coverage, no subset windows, contiguous indices") {
+    val rows = SparkEntry.queries("q68_chunking")(spark, sfDir)
+      .select($"doc_id", $"chunk_idx", $"n_tokens").as[(Long, Int, Int)]
+      .collect().groupBy(_._1)
+    val nToks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .selectExpr("doc_id", "size(split(trim(text), '\\\\s+')) AS n")
+      .as[(Long, Int)].collect().toMap
+    assert(rows.nonEmpty)
+    rows.foreach { case (doc, cs) =>
+      val n = nToks(doc)
+      val sorted = cs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == sorted.indices.toSeq, s"doc $doc: gap in chunk_idx")
+      // start of chunk i is 48*i; it must cover through min(48i+64, n)
+      sorted.foreach { case (_, idx, len) =>
+        assert(len == math.min(48 * idx + 64, n) - 48 * idx, s"doc $doc chunk $idx len $len")
+      }
+      val last = sorted.last
+      assert(48 * last._2 + last._3 == n, s"doc $doc: tail tokens uncovered")
+      // no window fully contained in its predecessor (the duplicate-sample
+      // guard): every chunk after the first must end past the previous end
+      sorted.sliding(2).foreach {
+        case Array((_, i1, l1), (_, i2, l2)) =>
+          assert(48 * i2 + l2 > 48 * i1 + l1, s"doc $doc: chunk $i2 is a subset of $i1")
+        case _ => ()
+      }
+    }
+  }
+
   test("entry returns rows (driver smoke)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
