@@ -929,6 +929,34 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("vec_id"))
     }),
 
+    "q71_embed_quantize" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // int8 symmetric quantization of the embedding store (the 4x
+      // compression a 100-TB vector corpus ships with): per-dimension
+      // scale = corpus max|x| (a narrow agg — one row per dim, exact and
+      // order-independent), published to the plan as a literal array
+      // (the build-once/broadcast pattern, like the cover index), then a
+      // pure map-side quantize + reconstruct with per-vector error stats.
+      val emb = t(s, d, "embeddings")
+      val mx = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("pos")).agg(max(abs(col("x").cast("double"))).as("mx"))
+        .orderBy(col("pos")).collect().map(_.getDouble(1))
+      val sc = typedLit(mx.toSeq)
+      val qv = zip_with(col("embedding"), sc, (x, m) =>
+        when(m === 0d, lit(0L)).otherwise(
+          greatest(lit(-127L), least(lit(127L),
+            round(x.cast("double") / m * lit(127d)).cast("long")))))
+      val recon = zip_with(qv, sc, (q, m) => (q.cast("double") * m / lit(127d)))
+      val err = zip_with(col("embedding"), recon, (x, r) => abs(x.cast("double") - r))
+      emb.select(col("vec_id"), col("embedding"),
+          qv.as("qv"), recon.as("recon"), err.as("err"))
+        .select(col("vec_id"),
+          array_max(transform(col("qv"), q => abs(q))).as("max_q"),
+          round(array_max(col("err")), 9).as("max_abs_err"),
+          round(gf.cosine_sim(col("embedding"), col("recon").cast("array<float>")), 6)
+            .as("recon_cos"))
+    }),
+
     "q36_ann_ivf" -> ((s, d) => {
       graft.functions.registerAll(s)
       // IVF-style ANN: probe the 4 nearest of 32 inverted lists, exact
@@ -1919,6 +1947,35 @@ object SparkEntry {
          |  FROM probes p JOIN a3 a USING (list_id)
          |  WHERE a.vec_id <> p.query_id)
          |WHERE rank <= 10""".stripMargin,
+
+    // per-dim scales re-derived (exact max agg), the same round/clamp
+    // quantize, double reconstruction, and the engine's float-cast +
+    // index-ordered cosine replayed
+    "q71_embed_quantize" ->
+      s"""WITH mx AS (
+         |  SELECT g.p AS pos, max(abs(CAST(embedding[g.p] AS DOUBLE))) AS m
+         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(p)
+         |  GROUP BY g.p),
+         |s AS (SELECT list(m ORDER BY pos) AS sc FROM mx),
+         |qr AS (
+         |  SELECT vec_id, embedding,
+         |    list_transform(generate_series(1, len(embedding)), i ->
+         |      CASE WHEN sc[i] = 0 THEN 0 ELSE greatest(-127, least(127,
+         |        CAST(round(CAST(embedding[i] AS DOUBLE) / sc[i] * 127) AS BIGINT))) END) AS qv,
+         |    sc
+         |  FROM embeddings, s),
+         |rr AS (
+         |  SELECT vec_id, embedding, qv,
+         |    list_transform(generate_series(1, len(qv)), i ->
+         |      CAST(CAST(qv[i] AS DOUBLE) * sc[i] / 127 AS REAL)) AS recon,
+         |    list_transform(generate_series(1, len(qv)), i ->
+         |      abs(CAST(embedding[i] AS DOUBLE) - CAST(qv[i] AS DOUBLE) * sc[i] / 127)) AS err
+         |  FROM qr)
+         |SELECT vec_id,
+         |  CAST(list_aggregate(list_transform(qv, q -> abs(q)), 'max') AS BIGINT) AS max_q,
+         |  round(list_aggregate(err, 'max'), 9) AS max_abs_err,
+         |  round(${cosSqlExpr("embedding", "recon")}, 6) AS recon_cos
+         |FROM rr""".stripMargin,
 
     // full IVF replay: md5-ordered centroid sample, argmax list assignment
     // (ties to the smallest list_id), nProbe=4 probes, exact rank within
