@@ -115,21 +115,34 @@ object Bench {
     // success and improve the total
     val failed = scala.collection.mutable.SortedSet.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runsPer).map { _ =>
+      val times = (1 to runsPer).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          // an aborted run's (typically fast) elapsed time must NOT enter
+          // the medians or the headline total — a failure would otherwise
+          // read FASTER than a working build; NaN marks the hole
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           failed += name
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times
+      name -> (if (times.isEmpty) Seq(Double.NaN) else times)
     }
     val (nPages, joinSec, tileSec, nAssign) =
       flagship(spark, sfDir, amplify, cpus.toInt * 4, runs = runsPer)
     def obj(f: Seq[Double] => Double) = results
-      .map { case (k, ts) => "\"" + k + "\":" + f(ts) }.mkString("{", ",", "}")
-    val total = results.map { case (_, ts) => median(ts) }.sum
+      .map { case (k, ts) =>
+        val v = f(ts)
+        "\"" + k + "\":" + (if (v.isNaN) "null" else v.toString)
+      }.mkString("{", ",", "}")
+    // headline total aggregates SUCCESSFUL queries only; `failed` lists
+    // the excluded ones (their per-query entries print NaN)
+    val total = results.collect {
+      case (name, ts) if !failed.contains(name) => median(ts)
+    }.sum
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","timing":"median_of_$runsPer","runs":$runsPer,""" +
         s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +

@@ -34,6 +34,12 @@ object SparkEntry {
   /** q69's per-batch token budget — ONE constant interpolated into both
     * the Spark query and the DuckDB oracle (shared-constants rule). */
   private val Q69TokenBudget = 2000L
+  /** q69's shard count, interpolated into both sides identically. 32 (not
+    * the session's shuffle-partitions default the library uses) because
+    * the oracle SQL is static while SPARK_GRAFT_CPUS varies per host —
+    * and 32 matches the production intent of one window partition per
+    * reducer at driver scale. */
+  private val Q69Shards = 32
 
   private val PiiEmail = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private val PiiPhone = """\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"""
@@ -601,30 +607,14 @@ object SparkEntry {
     }),
 
     "q69_token_packing" -> ((s, d) => {
-      // deterministic token-budget packing: docs sharded by a replayable
-      // content-independent hash (q53's md5-bucket machinery over the id),
-      // then assigned to training batches inside each shard by EXCLUSIVE
-      // prefix token count — batch = floor(tokens_before / budget). This
-      // is the order-respecting rule a distributed window computes with
-      // no driver state; a batch can overshoot the budget by at most one
-      // document (exact first-fit is inherently sequential — documented
-      // tradeoff, not an accident). Shuffles once, on the shard key.
-      val budget = Q69TokenBudget
-      val nToks = size(split(trim(col("text")), "\\s+")).cast("long")
-      val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 8
-      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, d, "documents")
-        .select(col("doc_id"), nToks.as("n_toks"), shard.as("shard"))
-        // INTEGER division: float division would misplace batch
-        // boundaries once a shard's prefix sum passes 2^53 tokens
-        .withColumn("tok_before", sum(col("n_toks")).over(w) - col("n_toks"))
-        .withColumn("batch_id", expr(s"tok_before div ${budget}L"))
-        .drop("tok_before")
-        .groupBy(col("shard"), col("batch_id"))
-        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"),
-          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      // Packing.tokenBatches (the parameterized operator — shard count
+      // defaults to spark.sql.shuffle.partitions in the library; the
+      // driver query pins Q69Shards because the static oracle SQL must
+      // interpolate the SAME constant, and the driver's session conf
+      // varies with SPARK_GRAFT_CPUS). PackingSpec pins the sequential
+      // replica + <=1-doc overshoot invariant at two other shard counts.
+      graft.pipeline.Packing.tokenBatches(t(s, d, "documents"),
+        Q69TokenBudget, Q69Shards)
     }),
 
     "q64_percentiles" -> ((s, d) => {
@@ -1034,6 +1024,18 @@ object SparkEntry {
         .groupBy(col("lang")).agg(count(lit(1)).as("n"))
     }),
 
+    // ---- the 100-TB join shape driven end-to-end (r3 verdict item #1):
+    // same containment semantics as q40 but through the salted sort-merge
+    // path that takes over when the cover outgrows broadcast, with the
+    // salt factor auto-derived from the cell-histogram pre-pass. The
+    // oracle is q40's independent ray-cast — a green row certifies the
+    // salt/replicate/SMJ machinery produces byte-identical pairs ----
+    "q72_course_assign_smj" -> ((s, d) => {
+      val b = boundsDf(s)
+      SpatialJoin.assignPagesSmjAuto(pages(s, d), SpatialJoin.coverDf(b), b)
+        .select(col("url"), col("text"), col("clubId"), col("courseId"), col("holeNumber"))
+    }),
+
     "q43_clip_join" -> ((s, d) => {
       // clip_area is quantized to a fixed 1e-10 deg^2 grid (~1 m^2 — 4-5
       // significant digits at these hole sizes) and sub-quantum rows are
@@ -1434,7 +1436,12 @@ object SparkEntry {
     * `(doc_id, text)`. */
   private def minhashBandCtes(src: String = "documents"): String =
     s"""toks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM $src),
+       |  -- list_filter mirrors TextOps.tokens, which drops empty tokens
+       |  -- produced by leading/trailing NON-SPACE whitespace (SQL trim
+       |  -- strips spaces only) — same divergence q70 fixed for '\\n'-padded
+       |  -- corpora; len(tk) gates below therefore count REAL tokens
+       |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+       |    t -> t <> '') AS tk FROM $src),
        |sh AS (
        |  SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
        |  FROM toks, unnest(range(1, len(tk) - 1)) AS g(i)
@@ -2190,7 +2197,7 @@ object SparkEntry {
         |    list_reduce(list_transform(
         |      string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-        |      (acc, d) -> acc * 16 + d) % 8 AS shard
+        |      (acc, d) -> acc * 16 + d) % $Q69Shards AS shard
         |  FROM documents),
         |b AS (
         |  SELECT shard, doc_id, n_toks,
@@ -2415,6 +2422,11 @@ object SparkEntry {
     // with NO cover index involved — a cover bug (missing cell, wrong
     // full flag, broken parent math) shows up here as a row/hash mismatch
     "q40_course_assign" -> (pagesCte + ",\n" + pipHitsCtes + "\n" +
+      "SELECT url, text, clubId, courseId, holeNumber FROM hits"),
+
+    // q72 must equal q40 row-for-row (same containment relation, different
+    // physical join) — same independent ray-cast oracle
+    "q72_course_assign_smj" -> (pagesCte + ",\n" + pipHitsCtes + "\n" +
       "SELECT url, text, clubId, courseId, holeNumber FROM hits"),
 
     "q41_pages_in_any" -> (pagesCte + ",\n" + pipHitsCtes + "\n" +

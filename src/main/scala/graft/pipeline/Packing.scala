@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic token-budget packing of documents into training batches
+ * (the "pack the corpus into ~budget-token optimizer batches" pass of an
+ * LLM-data pipeline; q69's operator, extracted + parameterized after the
+ * round-3 verdict flagged its fixed 8-shard ceiling as a scale killer).
+ *
+ * Docs are sharded by a replayable content-independent hash of the id,
+ * then assigned to batches inside each shard by EXCLUSIVE prefix token
+ * count — batch = floor(tokens_before / budget). This is the
+ * order-respecting rule a distributed window computes with no driver
+ * state; a batch can overshoot the budget by at most ONE document (exact
+ * first-fit is inherently sequential — documented tradeoff, not an
+ * accident). Shuffles once, on the shard key.
+ *
+ * Scale shape: parallelism == `nShards`, which DEFAULTS TO the session's
+ * `spark.sql.shuffle.partitions` — at 10^12 docs you set both to the
+ * cluster's reducer count and every window partition holds ~1/nShards of
+ * the corpus. The shard hash is uniform (md5 of the id), so shard sizes
+ * concentrate tightly around the mean; no salting needed.
+ */
+object Packing {
+
+  /** Per-doc batch assignment: (doc_id, n_toks, shard, batch_id).
+    * `nShards <= 0` means "use spark.sql.shuffle.partitions". */
+  def tokenBatchAssignments(docs: DataFrame, budget: Long, nShards: Int = 0): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val shards =
+      if (nShards > 0) nShards
+      else docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val nToks = size(split(trim(col("text")), "\\s+")).cast("long")
+    // replayable shard hash: first 15 hex chars of md5(id) mod nShards
+    // (15 chars = 60 bits, fits a positive long; same machinery as the
+    // q53 sampling buckets, replayed verbatim in the DuckDB oracle)
+    val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % shards
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), nToks.as("n_toks"), shard.as("shard"))
+      .withColumn("tok_before", sum(col("n_toks")).over(w) - col("n_toks"))
+      // INTEGER division: float division would misplace batch boundaries
+      // once a shard's prefix sum passes 2^53 tokens
+      .withColumn("batch_id", expr(s"tok_before div ${budget}L"))
+      .drop("tok_before")
+  }
+
+  /** Batch manifest: one row per (shard, batch) with doc count, token
+    * total and the id range — the frame a training loader consumes. */
+  def tokenBatches(docs: DataFrame, budget: Long, nShards: Int = 0): DataFrame =
+    tokenBatchAssignments(docs, budget, nShards)
+      .groupBy(col("shard"), col("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("total_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+}

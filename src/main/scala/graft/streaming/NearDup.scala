@@ -87,7 +87,7 @@ object NearDup {
    */
   def kept(docs: DataFrame, watermark: String = "1 hour",
            ttlMillis: Long = 3600000L, window: String = "10 minutes",
-           disableChainedStateCheck: Boolean = true): DataFrame = {
+           disableChainedStateCheck: Boolean = false): DataFrame = {
     // Spark's chained-stateful correctness check flags ANY FMGWS feeding a
     // stateful agg, because an FMGWS MAY emit rows older than the
     // watermark (e.g. on timeout) that the agg would silently drop as
@@ -97,13 +97,22 @@ object NearDup {
     // the same batch it was created, before the watermark next advances.
     // CAVEAT — the flag is SESSION-GLOBAL (Spark has no per-query form)
     // and the check runs at query START, so it cannot be restored here:
-    // the default mutates the session for every later chained-stateful
-    // query. A session that also runs FMGWS->agg pipelines relying on the
-    // guard should pass disableChainedStateCheck = false and manage the
-    // flag itself around this query's start().
-    if (disableChainedStateCheck)
-      docs.sparkSession.conf
-        .set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // opting in mutates the session for every later chained-stateful
+    // query; hence the false DEFAULT — callers must pass true (and accept
+    // the session-wide effect, logged below) or the returned query fails
+    // analysis with the chained-stateful error. A session that also runs
+    // FMGWS->agg pipelines relying on the guard should keep the default
+    // and manage the flag itself around this query's start().
+    if (disableChainedStateCheck) {
+      val conf = docs.sparkSession.conf
+      val key = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+      if (conf.get(key, "true") != "false") {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"NearDup.kept: disabling $key SESSION-WIDE (Spark has no per-query " +
+            "form); later chained-stateful queries in this session lose the guard")
+        conf.set(key, "false")
+      }
+    }
     bandClaims(docs, watermark, ttlMillis).toDF()
       .select(col("doc_id"), expr("timestamp_micros(ts_us)").as("ts"), col("first"))
       .withWatermark("ts", watermark)

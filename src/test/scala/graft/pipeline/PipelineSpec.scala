@@ -174,6 +174,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("q45 rounding margin: every cos-dependent viewport value sits far from a 0.5e-6 boundary") {
+    // q45 hash-compares round(fig_w_in|fig_h_in|aspect, 6) across engines
+    // whose cos() may differ by 1 ULP (measured: 1/763 calls vs DuckDB).
+    // A raw value within that disagreement of a (n+0.5)*1e-6 rounding
+    // boundary would flip the rounded digit on one side only — the q43
+    // fragile-zone failure mode. Pin that the CURRENT fixture keeps every
+    // value >= 100x the worst plausible disagreement away from the
+    // boundary: values are O(1..100), 1 ULP of cos feeds through as
+    // <= ~1e-13 absolute here, = 1e-7 quanta at the 1e-6 grid; require
+    // > 1e-5 quanta (100x). A fixture re-roll into the fragile zone fails
+    // HERE with the offending value instead of as a red q45 hash.
+    val bounds = CourseEngine.boundaries(Courses.itemsDf(spark, SparkEntry.NCourses))
+    val rows = CourseEngine.viewports(bounds)
+      .select($"clubId", $"courseId", $"holeNumber", $"fig_w_in", $"fig_h_in", $"aspect")
+      .collect()
+    assert(rows.length >= SparkEntry.NCourses)
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1), r.getInt(2))
+      Seq("fig_w_in" -> r.getDouble(3), "fig_h_in" -> r.getDouble(4),
+          "aspect" -> r.getDouble(5)).foreach { case (name, v) =>
+        val scaled = v * 1e6
+        val frac = scaled - math.floor(scaled)
+        val distFromHalf = math.abs(frac - 0.5)
+        assert(distFromHalf > 1e-5,
+          s"$name of $key sits $distFromHalf quanta from a 0.5e-6 rounding boundary " +
+            s"(value=$v) — the q45 1e-6 quantization is not safe for this fixture")
+      }
+    }
+  }
+
   test("unknown itemType: warn metric counts it, output drops it (P5)") {
     val items = Courses.itemsDf(spark, 3)
     val planted = items.unionByName(

@@ -213,7 +213,8 @@ class StreamingSpec extends AnyFunSuite {
     docs.write.parquet(s"$dir/in")
     val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in")
     // ttl must outlive the whole doc_id range (500s) for stream == batch
-    val q = NearDup.kept(stream, watermark = "10 seconds", ttlMillis = 86400000L)
+    val q = NearDup.kept(stream, watermark = "10 seconds", ttlMillis = 86400000L,
+        disableChainedStateCheck = true)
       .writeStream.format("memory").queryName("neardup").outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination()
