@@ -55,6 +55,7 @@ object Fixtures {
   def ensureAll(spark: SparkSession, sfDir: String, nCourses: Int): Unit = {
     jsonlDir(spark, nCourses)
     warcDir()
+    htmlWarcDir()
     snapshotTable(spark, sfDir)
   }
 
@@ -77,6 +78,86 @@ object Fixtures {
         f"2025-04-${i % 9 + 1}%02dT${i % 10}%02d:00:00Z",
         s"<urn:uuid:w$i>", "application/octet-stream", payload)
     }
+  }
+
+  // -------------------------------------------------------------------
+  // q73 — HTML crawl segment: `application/http` response records whose
+  // payloads are full HTTP messages with ASCII HTML bodies in the LangId
+  // profile languages. script/style blocks carry ENGLISH-stopword poison,
+  // so a text-extraction bug (tags surviving, blocks not dropped) flips
+  // non-English predictions and fails the driver compare — the fixture
+  // actively tests the extractor, not just the parser.
+  // -------------------------------------------------------------------
+
+  /** Per-language filler vocabularies (no overlap with other languages'
+    * stopword profiles, so prediction signal is unambiguous). */
+  private val crawlFillers = Map(
+    "en" -> Seq("golf", "course", "green", "fairway", "club", "hole", "page", "crawl", "data", "engine"),
+    "es" -> Seq("campo", "verde", "calle", "palo", "hoyo", "pagina", "datos", "motor", "juego", "cesped"),
+    "de" -> Seq("platz", "gruen", "bahn", "schlaeger", "loch", "seite", "daten", "spiel", "rasen", "karte"),
+    "fr" -> Seq("parcours", "vert", "allee", "baton", "trou", "donnees", "moteur", "jeu", "gazon", "carte"))
+
+  def htmlCrawlRecords(n: Int = 20, seed: Long = 11L): Seq[Warc.WarcRecord] = {
+    val rnd = new scala.util.Random(seed)
+    val langSeq = Seq("en", "es", "de", "fr", "und")
+    (0 until n).map { i =>
+      val lang = langSeq(i % langSeq.size)
+      val stop = graft.pipeline.LangId.Profiles.toMap
+        .getOrElse(lang, Seq("zzz", "qqq", "xxw", "vvk", "jjq"))
+      val fill = crawlFillers.getOrElse(lang, Seq("zork", "blip", "quux", "fnord", "gronk"))
+      val nTok =
+        if (i == 7) 8 // below the q54 gate's 20-token floor
+        else if (i == 11) 60 // repetitive -> distinct_ratio gate fail
+        else 40 + rnd.nextInt(160)
+      val words =
+        if (i == 11) Seq.fill(60)("spam")
+        else (0 until nTok).map { j =>
+          // numeric suffixes keep filler tokens diverse enough that an
+          // ENGLISH doc of typical length passes the distinct_ratio gate
+          // (the all-"spam" doc and the 8-token doc are the fail cases)
+          if (j % 3 == 0) stop(rnd.nextInt(stop.size))
+          else fill(rnd.nextInt(fill.size)) + rnd.nextInt(40)
+        }
+      val paras = words.grouped(12).zipWithIndex.map { case (p, k) =>
+        val s = p.mkString(" ")
+        // entities the extractor must decode (&amp; LAST-decode rule)
+        val dec =
+          if (k % 4 == 1) s + " &amp; extra"
+          else if (k % 4 == 2) s + " it&#39;s &quot;quoted&quot; &amp;lt;kept"
+          else s
+        s"""<p class="t$k">$dec</p>"""
+      }.mkString("\n")
+      // '\n'-only newlines in the body: the FIRST CRLFCRLF in the payload
+      // is the HTTP header terminator on both the engine and oracle side
+      val html =
+        s"""<html><head><title>page $i</title>
+           |<style type="text/css"> body { color: red } /* the and of to a */ </style>
+           |<script> var poison = "the and of to a the and of to a"; </script>
+           |</head><body>
+           |<h1>${fill.head} ${stop.head}</h1>
+           |$paras
+           |</body></html>""".stripMargin
+      val http = "HTTP/1.1 200 OK\r\nServer: graft-fixture\r\n" +
+        "Content-Type: text/html; charset=utf-8\r\n\r\n"
+      Warc.WarcRecord(
+        if (i % 7 == 6) "request" else "response", // some filtered by toPages
+        s"https://crawl$i.example.org/page$i",
+        f"2025-05-${i % 9 + 1}%02dT${i % 10}%02d:30:00Z",
+        s"<urn:uuid:c$i>", "application/http; msgtype=response",
+        (http + html).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Writes the HTML crawl segment; returns its directory. */
+  def htmlWarcDir(): String = {
+    val dir = java.nio.file.Paths.get(Root, "crawl")
+    once(dir.toString) {
+      deleteRecursively(dir.toFile)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.write(dir.resolve("crawl-00000.warc"),
+        Warc.writeWarc(htmlCrawlRecords()))
+    }
+    dir.toString
   }
 
   /** Writes the uncompressed fixture segment; returns its directory.
