@@ -194,6 +194,36 @@ object Fixtures {
   }
 
   // -------------------------------------------------------------------
+  // q74 — the streaming-dedup input: documents with event times that
+  // follow doc_id (1s apart), plus ONE far-future sentinel whose sole job
+  // is to advance the final watermark past every real doc's window so the
+  // chained stateful aggregation finalizes them all under AvailableNow.
+  // The sentinel is engine-side only (filtered from the output; the
+  // oracle replays the batch twin over the plain documents table) — it
+  // can never change a real doc's retention: its id sorts after every
+  // real id, so it loses every band it shares.
+  // -------------------------------------------------------------------
+  val StreamSentinelId = 999999999L
+
+  def streamDocsDir(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val dir = s"$Root/stream_docs_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    once(dir) {
+      deleteRecursively(new java.io.File(dir))
+      import spark.implicits._
+      val base = java.sql.Timestamp.valueOf("2025-03-01 00:00:00").getTime
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .unionByName(Seq((StreamSentinelId, "sentinel far future doc"))
+          .toDF("doc_id", "text"))
+        .select(col("doc_id"),
+          expr(s"timestamp_millis(${base}L + doc_id * 1000)").as("ts"), col("text"))
+        .write.parquet(dir)
+    }
+    dir
+  }
+
+  // -------------------------------------------------------------------
   // q61 — snapshot table rebuilt from scratch each call: two commits
   // (full nation, then an appended filtered slice), so VERSION AS OF 1
   // and 2 read provably different live sets.
