@@ -1078,6 +1078,19 @@ object SparkEntry {
           col("clubId"), col("courseId"), col("holeNumber"), col("rank"))
     }),
 
+    "q75_knn_boundary" -> ((s, d) => {
+      // kNN under the boundary metric (nearest exterior-shell segment, r3
+      // verdict item #6) — rank-only output, same libm-ULP policy and
+      // deterministic probe slice as q49; the oracle brute-forces the
+      // identical clamped-projection segment distance over the literal
+      // rings (PipelineSpec pins the no-near-ties margin that makes the
+      // rank compare sound)
+      SpatialJoin.knnCoursesBoundary(pages(s, d).filter(col("page_id") < 2000),
+          boundsDf(s), k = 3)
+        .select(col("url"), col("lon"), col("lat"),
+          col("clubId"), col("courseId"), col("holeNumber"), col("rank"))
+    }),
+
     "q50_priority_order" -> ((s, d) => {
       CourseEngine.priorityOrder(boundsDf(s), Q50Priority)
         .select(col("clubId"), col("courseId"), col("holeNumber"), col("prio"))
@@ -1249,6 +1262,27 @@ object SparkEntry {
         .map(i => s"[${dlit(flat(2 * i))},${dlit(flat(2 * i + 1))}]").mkString("[", ",", "]")
       s"('$cl','$co',$h,${dlit(e(0))},${dlit(e(1))},${dlit(e(2))},${dlit(e(3))},$pts)"
     }.mkString(",")
+
+  /** q75's point-to-segment distance, replayed textually over the closed
+    * `ring` ([x,y] pairs, first == last): planar clamped projection of
+    * the point onto each segment, then the q49 haversine shape to the
+    * clamped closest point — the EXACT operation order of
+    * `SpatialJoin.st_distance_to_shell_m`'s per-segment lambda. Only the
+    * ORDERING of these values is graded (rank output), per the
+    * cross-engine libm policy. */
+  private def segDistSql(px: String, py: String, ring: String): String = {
+    val ax = s"$ring[i][1]"; val ay = s"$ring[i][2]"
+    val bx = s"$ring[i+1][1]"; val by = s"$ring[i+1][2]"
+    val dx = s"($bx - $ax)"; val dy = s"($by - $ay)"
+    val d2 = s"($dx * $dx + $dy * $dy)"
+    val tRaw = s"((($px - $ax) * $dx + ($py - $ay) * $dy) / $d2)"
+    val t = s"(CASE WHEN $d2 = 0.0 THEN 0.0 ELSE least(1.0, greatest(0.0, $tRaw)) END)"
+    val cx = s"($ax + $t * $dx)"; val cy = s"($ay + $t * $dy)"
+    s"""2.0 * 6371008.8 * asin(least(1.0, sqrt(
+       |        sin((radians($cy) - radians($py)) / 2) * sin((radians($cy) - radians($py)) / 2) +
+       |        cos(radians($py)) * cos(radians($cy)) *
+       |        sin(radians($cx - $px) / 2) * sin(radians($cx - $px) / 2))))""".stripMargin
+  }
 
   /** W2 priority fixture — ONE definition feeds both the q50 query and
     * its oracle CASE (hand-copied literals drift). */
@@ -2542,6 +2576,22 @@ object SparkEntry {
       |        sin(radians(c.clon - p.lon) / 2) * sin(radians(c.clon - p.lon) / 2)))),
       |      c.clubId, c.courseId, c.holeNumber) AS rank
       |  FROM pages p CROSS JOIN cents c WHERE p.page_id < 2000)
+      |SELECT url, lon, lat, clubId, courseId, holeNumber, rank FROM scored WHERE rank <= 3""".stripMargin),
+
+    // boundary-metric kNN brute-forced over the literal closed rings:
+    // per (page, hole), min clamped-projection segment distance, ranked
+    "q75_knn_boundary" -> (pagesCte + s""",
+      |bounds AS (
+      |  SELECT * FROM (VALUES $oracleBoundsValues)
+      |    AS b(clubId, courseId, holeNumber, minx, miny, maxx, maxy, ring)
+      |),
+      |scored AS (
+      |  SELECT p.url, p.lon, p.lat, b.clubId, b.courseId, b.holeNumber,
+      |    row_number() OVER (PARTITION BY p.url ORDER BY
+      |      list_aggregate(list_transform(range(1, len(b.ring)), i ->
+      |        ${segDistSql("p.lon", "p.lat", "b.ring")}), 'min'),
+      |      b.clubId, b.courseId, b.holeNumber) AS rank
+      |  FROM pages p CROSS JOIN bounds b WHERE p.page_id < 2000)
       |SELECT url, lon, lat, clubId, courseId, holeNumber, rank FROM scored WHERE rank <= 3""".stripMargin),
 
     // markers: same independent ray cast, probing the planted marker

@@ -110,6 +110,75 @@ object SpatialJoin {
       .select(pages.columns.toIndexedSeq.map(col) :+ col("clubId") :+ col("courseId") :+
         col("holeNumber"): _*)
 
+  /** Estimated broadcast bytes per exploded cover entry — (cell long,
+    * full bool, hole_id long) plus UnsafeRow + hash-relation overhead;
+    * 32 B is deliberately conservative (measured LongHashedRelation
+    * footprints land near 24 B/row for this shape). ONE constant so the
+    * [[chooseCoverStrategy]] boundary is auditable. */
+  val BytesPerCoverEntry = 32L
+
+  /** Default broadcast budget for the cover index: 64 MiB — small enough
+    * to stay L2/L3-friendly on the probe side and to co-exist with the
+    * refine dim broadcast, large enough for ~2M flat cells (a few
+    * thousand hole-sized polygons at level 17). */
+  val DefaultBroadcastBudget: Long = 64L << 20
+
+  /** (multi-res cells, flat-expanded cells) of the cover — the flat count
+    * is the 4^(maxLevel-level) per-cell expansion [[coverDfFlat]] would
+    * materialize, summed WITHOUT building it (pure level arithmetic on
+    * the multi-res cover, one tiny aggregate). */
+  def coverStats(bounds: DataFrame, minLevel: Int = MinLevel,
+                 maxLevel: Int = MaxLevel): (Long, Long) = {
+    graft.functions.registerAll(bounds.sparkSession)
+    val r = coverDf(bounds, minLevel, maxLevel)
+      .agg(count(lit(1)).as("n"),
+        sum(expr(s"shiftleft(1L, ($maxLevel - cell_level(cell)) * 2)")).as("flat"))
+      .collect()(0)
+    if (r.isNullAt(1)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+  }
+
+  /**
+   * Pick the join shape from the cover's estimated broadcast footprint
+   * (r3 verdict: coverDfFlat's 4^Δ expansion had no size guard — a
+   * continental cover flat-expanded from level 13 to 17 multiplies cells
+   * x256 and silently blows the broadcast budget):
+   *
+   *   - "flat":     flat-expanded cover fits the budget — single-probe
+   *                 broadcast hash join, the fastest shape.
+   *   - "multires": only the un-expanded multi-res cover fits — probe-side
+   *                 ancestor explode (≤ maxLevel-minLevel+1 probes/page).
+   *   - "smj":      cover exceeds the budget even un-expanded — salted
+   *                 sort-merge with auto-derived salt factor.
+   *
+   * The boundary is exact and documented: strategy flips where
+   * cells * [[BytesPerCoverEntry]] crosses `budget` (PipelineSpec pins
+   * both flips with budgets straddling the measured stats).
+   */
+  def chooseCoverStrategy(bounds: DataFrame, minLevel: Int = MinLevel,
+                          maxLevel: Int = MaxLevel,
+                          budget: Long = DefaultBroadcastBudget): String = {
+    val (nCells, flatCells) = coverStats(bounds, minLevel, maxLevel)
+    if (flatCells * BytesPerCoverEntry <= budget) "flat"
+    else if (nCells * BytesPerCoverEntry <= budget) "multires"
+    else "smj"
+  }
+
+  /** [[assignPages]] family with the physical shape auto-selected by
+    * [[chooseCoverStrategy]]. The stats pre-pass costs one aggregate over
+    * the (polygon-set-sized, not corpus-sized) cover — amortized over the
+    * dataset version exactly like the cover build itself. */
+  def assignPagesAuto(pages: DataFrame, bounds: DataFrame,
+                      minLevel: Int = MinLevel, maxLevel: Int = MaxLevel,
+                      budget: Long = DefaultBroadcastBudget): DataFrame =
+    chooseCoverStrategy(bounds, minLevel, maxLevel, budget) match {
+      case "flat" =>
+        assignPagesFlat(pages, coverDfFlat(bounds, minLevel, maxLevel), bounds, maxLevel)
+      case "multires" =>
+        assignPages(pages, coverDf(bounds, minLevel, maxLevel), bounds, minLevel, maxLevel)
+      case _ =>
+        assignPagesSmjAuto(pages, coverDf(bounds, minLevel, maxLevel), bounds, minLevel, maxLevel)
+    }
+
   /**
    * Salt factor from a cheap cell-histogram pre-pass (SURVEY §7): a
    * deterministic 1/128 hash-sample of the pages is histogrammed by
@@ -253,16 +322,85 @@ object SpatialJoin {
    */
   def knnCourses(pagesIn: DataFrame, bounds: DataFrame, k: Int,
                  level: Int = 11, radius: Int = 3,
-                 maxLocalRows: Int = 1 << 20): DataFrame = {
-    // project the probe stream to the three columns the algorithm needs
-    // BEFORE the first window: carrying html/text through the rank
-    // exchange would shuffle the payload bytes for nothing
-    val pages = pagesIn.select(col("url"), col("lon"), col("lat"))
-    val centroids = bounds
+                 maxLocalRows: Int = 1 << 20): DataFrame =
+    knnStaged(pagesIn, knnCentroids(bounds), k, level, radius, maxLocalRows,
+      slackM = 0.0,
+      dist = st_distance_m(col("lon"), col("lat"), col("clon"), col("clat")))
+
+  /**
+   * kNN by distance to the polygon BOUNDARY (nearest exterior-shell
+   * segment) instead of the envelope centroid — the variant "k nearest
+   * courses" wants once polygons are large or elongated relative to page
+   * spacing (r3 verdict item #6). Same staged cell-ring machinery; the
+   * exactness certificate subtracts the polygon set's maximum
+   * centroid-to-envelope-corner radius: by the triangle inequality, any
+   * polygon whose CENTROID is outside the certified disk has every
+   * boundary point at least `certBound(r) - envRadM` away, so the bound
+   * stays a strict lower bound under the boundary metric.
+   */
+  def knnCoursesBoundary(pagesIn: DataFrame, bounds: DataFrame, k: Int,
+                         level: Int = 11, radius: Int = 3,
+                         maxLocalRows: Int = 1 << 20): DataFrame = {
+    val dim = knnCentroids(bounds)
+      .join(bounds.select(col("clubId"), col("courseId"), col("holeNumber"),
+        flatten_shell(col("boundary")).as("bflat")),
+        Seq("clubId", "courseId", "holeNumber"))
+    // max centroid->envelope-corner distance (driver-side scalar; one tiny
+    // aggregate over the polygon dim, like the cover stats pre-pass)
+    val envRadM = bounds
+      .withColumn("env", st_envelope(col("boundary")))
+      .agg(max(st_distance_m(
+        (col("env.minx") + col("env.maxx")) / 2, (col("env.miny") + col("env.maxy")) / 2,
+        col("env.maxx"), col("env.maxy"))))
+      .collect()(0).getDouble(0)
+    knnStaged(pagesIn, dim, k, level, radius, maxLocalRows,
+      slackM = envRadM,
+      dist = st_distance_to_shell_m(col("bflat"), col("lon"), col("lat")))
+  }
+
+  /** Envelope-center centroid dim for the staged kNN. */
+  private def knnCentroids(bounds: DataFrame): DataFrame =
+    bounds
       .withColumn("env", st_envelope(col("boundary")))
       .select(col("clubId"), col("courseId"), col("holeNumber"),
         ((col("env.minx") + col("env.maxx")) / 2).as("clon"),
         ((col("env.miny") + col("env.maxy")) / 2).as("clat"))
+
+  /**
+   * Haversine meters from a point to the nearest segment of a flattened
+   * closed shell ring ([x0,y0,...,x0,y0]): per segment, clamp the planar
+   * (equirectangular lon/lat) projection parameter to [0,1], then
+   * haversine to the clamped closest point. Pure composition of built-in
+   * HOFs + the codegen'd st_distance_m kernel; the q75 oracle replays the
+   * textually identical chain in DuckDB (only rank output is compared —
+   * cross-engine libm ULP policy, same as q49).
+   */
+  def st_distance_to_shell_m(bflat: Column, px: Column, py: Column): Column = {
+    // size/2 via `/` yields DOUBLE in Spark SQL — cast back for sequence()
+    val n = (size(bflat) / lit(2)).cast("int")
+    array_min(transform(sequence(lit(0), n - lit(2)), i => {
+      val ax = element_at(bflat, i * lit(2) + lit(1))
+      val ay = element_at(bflat, i * lit(2) + lit(2))
+      val bx = element_at(bflat, i * lit(2) + lit(3))
+      val by = element_at(bflat, i * lit(2) + lit(4))
+      val dx = bx - ax
+      val dy = by - ay
+      val d2 = dx * dx + dy * dy
+      val tRaw = ((px - ax) * dx + (py - ay) * dy) / d2
+      val t = when(d2 === lit(0.0), lit(0.0))
+        .otherwise(least(lit(1.0), greatest(lit(0.0), tRaw)))
+      st_distance_m(px, py, ax + t * dx, ay + t * dy)
+    }))
+  }
+
+  private def knnStaged(pagesIn: DataFrame, dim: DataFrame, k: Int,
+                        level: Int, radius: Int, maxLocalRows: Int,
+                        slackM: Double, dist: Column): DataFrame = {
+    // project the probe stream to the three columns the algorithm needs
+    // BEFORE the first window: carrying html/text through the rank
+    // exchange would shuffle the payload bytes for nothing
+    val pages = pagesIn.select(col("url"), col("lon"), col("lat"))
+    val centroids = dim
     val w = Window.partitionBy(col("url"))
       .orderBy(col("dist_m"), col("clubId"), col("courseId"), col("holeNumber"))
     val urlW = Window.partitionBy(col("url"))
@@ -279,13 +417,17 @@ object SpatialJoin {
     // the exact brute tail.
     def certBound(r: Int): Column = {
       val latFar = abs(col("lat")) + lit((r + 1) * cellDeg)
+      // `slackM` widens the metric from centroid to whole-polygon distance
+      // (0 for the centroid metric): excluded centroids are >= the raw
+      // bound away, so excluded BOUNDARY points are >= bound - envRad away
       when(latFar > 89.9, lit(0.0))
-        .otherwise(lit(r) * lit(110000.0) * lit(cellDeg) *
-          least(lit(1.0), lit(2.0) * cos(radians(latFar))))
+        .otherwise(greatest(lit(0.0),
+          lit(r) * lit(110000.0) * lit(cellDeg) *
+            least(lit(1.0), lit(2.0) * cos(radians(latFar))) - lit(slackM)))
     }
     def topkCertified(cands: DataFrame, r: Int): DataFrame =
       cands
-        .withColumn("dist_m", st_distance_m(col("lon"), col("lat"), col("clon"), col("clat")))
+        .withColumn("dist_m", dist)
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .withColumn("cnt", count(lit(1)).over(urlW))
@@ -334,7 +476,7 @@ object SpatialJoin {
     // tests (and production monitors) can assert it stays tiny
     val brute = uncertain2
       .crossJoin(broadcast(centroids))
-      .withColumn("dist_m", st_distance_m(col("lon"), col("lat"), col("clon"), col("clat")))
+      .withColumn("dist_m", dist)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .observe("knn_brute", count(lit(1)).as("n_brute_rows"))

@@ -75,6 +75,99 @@ class PipelineSpec extends AnyFunSuite {
     assert(smj == bcast && smj.nonEmpty)
   }
 
+  test("cover-strategy auto-select: boundary flips exactly at the byte budget; all shapes agree") {
+    // an 11 km square REALLY contains full coarse cells, so the flat 4^Δ
+    // expansion genuinely dwarfs the multi-res cover (the hole-sized
+    // fixture's covers bottom out at maxLevel — flat == multires there,
+    // which is exactly why this test needs its own polygon)
+    val big = spark.sql(
+      """SELECT 'bigclub' AS clubId, 'c1' AS courseId, 1 AS holeNumber, array(array(
+        |  struct(10.0d AS x, 50.0d AS y), struct(10.1d AS x, 50.0d AS y),
+        |  struct(10.1d AS x, 50.1d AS y), struct(10.0d AS x, 50.1d AS y),
+        |  struct(10.0d AS x, 50.0d AS y))) AS boundary""".stripMargin)
+    val (nCells, flatCells) = SpatialJoin.coverStats(big)
+    assert(nCells > 0 && flatCells > nCells,
+      s"degenerate cover stats ($nCells, $flatCells) — boundary test would be vacuous")
+    val per = SpatialJoin.BytesPerCoverEntry
+    // the documented selection rule, pinned at both flips (budgets exactly
+    // on and one byte below each threshold)
+    assert(SpatialJoin.chooseCoverStrategy(big, budget = flatCells * per) == "flat")
+    assert(SpatialJoin.chooseCoverStrategy(big, budget = flatCells * per - 1) == "multires")
+    assert(SpatialJoin.chooseCoverStrategy(big, budget = nCells * per) == "multires")
+    assert(SpatialJoin.chooseCoverStrategy(big, budget = nCells * per - 1) == "smj")
+    // the default budget picks flat for the real hole-sized polygon set
+    assert(SpatialJoin.chooseCoverStrategy(bounds) == "flat")
+    // every auto-dispatched shape computes the same containment relation
+    // over a probe grid straddling the big square's boundary
+    val pts = (0 until 400).map(i =>
+      (s"u$i", 9.99 + (i % 20) * 0.0065, 49.99 + (i / 20) * 0.0065))
+      .toDF("url", "lon", "lat")
+    def pairs(budget: Long) = SpatialJoin.assignPagesAuto(pts, big, budget = budget)
+      .select($"url").collect().map(_.getString(0)).toSet
+    val flat = pairs(flatCells * per)
+    assert(flat.nonEmpty && flat.size < 400)
+    assert(pairs(flatCells * per - 1) == flat, "multires path diverges from flat")
+    assert(pairs(nCells * per - 1) == flat, "smj path diverges from flat")
+  }
+
+  test("boundary-metric kNN equals brute force; margins rule out rank flips") {
+    // JVM replica of st_distance_to_shell_m's per-segment lambda (clamped
+    // planar projection -> haversine), over the exterior shell
+    def shellDist(flat: Array[Double], px: Double, py: Double): Double = {
+      val n = flat.length / 2
+      var best = Double.MaxValue
+      var i = 0
+      while (i < n - 1) {
+        val ax = flat(2 * i); val ay = flat(2 * i + 1)
+        val bx = flat(2 * i + 2); val by = flat(2 * i + 3)
+        val dx = bx - ax; val dy = by - ay
+        val d2 = dx * dx + dy * dy
+        val t = if (d2 == 0.0) 0.0
+          else math.min(1.0, math.max(0.0, ((px - ax) * dx + (py - ay) * dy) / d2))
+        val d = Geom.haversineM(px, py, ax + t * dx, ay + t * dy)
+        if (d < best) best = d
+        i += 1
+      }
+      best
+    }
+    val probe = Pages.pages(spark, sfDir, SparkEntry.Amp).filter($"page_id" < 500)
+    val pts = probe.select($"url", $"lon", $"lat").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    val expected = pts.flatMap { case (url, lon, lat) =>
+      boundPolys.toSeq
+        .map { case (key, poly) => (key, shellDist(poly(0), lon, lat)) }
+        .sortBy { case ((cl, co, h), d) => (d, cl, co, h) }
+        .take(3).zipWithIndex
+        .map { case ((key, _), idx) => (url, key._1, key._2, key._3, idx + 1) }
+    }.toSet
+    val got = SpatialJoin.knnCoursesBoundary(probe, bounds, k = 3)
+      .select($"url", $"clubId", $"courseId", $"holeNumber", $"rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3), r.getInt(4)))
+      .toSet
+    assert(got == expected,
+      s"boundary kNN drift: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    assert(got.nonEmpty)
+    // rank-compare soundness (the q75 oracle grades ORDER only): every
+    // adjacent pair in each page's distance ordering must be separated by
+    // >> the cross-engine libm drift (~1e-16 relative) — pin 1e-9 relative.
+    // Checked over BOTH this spec's slice and the exact sf0.01 probe
+    // population the driver grades (the q43/q45 rule: pin the margin on
+    // the fixture of record, or a re-roll fails as an opaque red hash)
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val graded = Pages.pages(spark, dir, SparkEntry.Amp).filter($"page_id" < 2000)
+        .select($"url", $"lon", $"lat").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      graded.foreach { case (url, lon, lat) =>
+        val ds = boundPolys.valuesIterator.map(p => shellDist(p(0), lon, lat))
+          .toArray.sorted.take(4)
+        ds.sliding(2).foreach { case Array(a, b) =>
+          assert(b - a > 1e-9 * math.max(1.0, a),
+            s"near-tie for $url in $dir: $a vs $b — q75's rank compare is fragile here")
+        }
+      }
+    }
+  }
+
   test("semi + anti variants partition the pages exactly") {
     val p = Pages.pages(spark, sfDir, SparkEntry.Amp)
     val total = p.count()
