@@ -41,6 +41,24 @@ object SparkEntry {
     * reducer at driver scale. */
   private val Q69Shards = 32
 
+  /** q76's multi-byte corpus — ONE constant feeding the engine
+    * LocalRelation and the oracle VALUES. Accented Latin (2-byte),
+    * Greek/Cyrillic (2-byte), CJK (3-byte), an emoji (4-byte): every
+    * UTF-8 width the byte-true hash replay must fold; rows (1,2) and
+    * (6,7) are planted near-dup pairs so the pair output is non-vacuous. */
+  private val Utf8Corpus: Seq[(Long, String)] = Seq(
+    1L -> "café au lait naïve résumé über straße",
+    2L -> "café au lait naïve résumé über garçon",
+    3L -> "ελληνικά κείμενο δοκιμή εγγράφου μηχανής",
+    4L -> "日本語 テキスト 重複 検出 テスト",
+    5L -> "русский текст проверка дубликатов хэширование",
+    6L -> "mixed ascii with émojis 🌍 and 中文 words",
+    7L -> "mixed ascii with émojis 🌍 and 中文 terms",
+    8L -> "ascii only control row for parity")
+
+  private lazy val oracleUtf8CorpusValues: String =
+    Utf8Corpus.map { case (id, t) => s"($id, '$t')" }.mkString(",")
+
   private val PiiEmail = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private val PiiPhone = """\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"""
   private val PiiIp = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
@@ -493,6 +511,31 @@ object SparkEntry {
       // candidate pairs deduped on ids ONLY (never shuffle the shingle
       // arrays), then features re-joined for exact verification
       val banded = graft.pipeline.Dedup.banded(t(s, d, "documents"), "doc_id")
+      val a = banded.as("a"); val b = banded.as("b")
+      val pairs = a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val feat = docs.select(col("doc_id"), col("sh"))
+      pairs
+        .join(feat.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(feat.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    "q76_minhash_utf8" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      import s.implicits._
+      // the q25 pipeline over a MULTI-BYTE corpus (r3 verdict item #7):
+      // proves the engine's FNV/minhash path and the DuckDB replay agree
+      // on real UTF-8 bytes, not just the ASCII ord()==byte shortcut —
+      // the oracle folds encode()'d hex pairs (fnvSqlBytes)
+      val corpus = graft.sources.Storage.localize(Utf8Corpus.toDF("doc_id", "text"))
+      val docs = corpus.select(col("doc_id"), gf.word_shingles(col("text"), lit(3)).as("sh"))
+      val banded = graft.pipeline.Dedup.banded(corpus, "doc_id")
       val a = banded.as("a"); val b = banded.as("b")
       val pairs = a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -1498,12 +1541,24 @@ object SparkEntry {
 
   /** `TextOps.hashText` over an ASCII string expression (documents.text is
     * ASCII by construction, so `ord` per char == the UTF-8 byte the engine
-    * folds; an oracle over non-ASCII corpora would decode real bytes). */
+    * folds; [[fnvSqlBytes]] is the byte-true form for non-ASCII corpora). */
   private def fnvSql(col: String): String =
     mix64Sql(
       s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
          |        list_transform(range(1, length($col)+1), i -> ord(substring($col, i, 1)))),
          |      (h, c) -> ${mulmod64("xor(h, CAST(c AS HUGEINT))", "1099511628211::HUGEINT")})""".stripMargin)
+
+  /** `TextOps.hashText` over ARBITRARY UTF-8 text: folds the REAL encoded
+    * bytes (encode() -> hex digit pairs), not per-character ord — the
+    * non-ASCII-safe replay the r3 verdict asked for (q76 proves it over a
+    * multi-byte corpus; on ASCII input it equals [[fnvSql]] exactly). */
+  private def fnvSqlBytes(col: String): String =
+    mix64Sql(
+      s"""list_reduce(list_prepend(14695981039346656037::HUGEINT,
+         |        list_transform(range(0, CAST(octet_length(encode($col)) AS BIGINT)),
+         |          i -> CAST(strpos('0123456789ABCDEF', substring(hex(encode($col)), CAST(2*i+1 AS BIGINT), 1)) - 1 AS HUGEINT) * 16
+         |             + CAST(strpos('0123456789ABCDEF', substring(hex(encode($col)), CAST(2*i+2 AS BIGINT), 1)) - 1 AS HUGEINT))),
+         |      (h, c) -> ${mulmod64("xor(h, c)", "1099511628211::HUGEINT")})""".stripMargin)
 
   /** q25's per-slot remix keys `mix64(seed + j)` (seed 7, k = 64) as
     * `(j, kj)` VALUES — data-independent constants, like q31's weights. */
@@ -1518,7 +1573,8 @@ object SparkEntry {
     * oracle, the q63 first-wins dedup oracle, and (over the gated
     * survivor set) the q65 pipeline oracle. `src` must expose
     * `(doc_id, text)`. */
-  private def minhashBandCtes(src: String = "documents"): String =
+  private def minhashBandCtes(src: String = "documents",
+                              byteTrueFnv: Boolean = false): String =
     s"""toks AS (
        |  -- list_filter mirrors TextOps.tokens, which drops empty tokens
        |  -- produced by leading/trailing NON-SPACE whitespace (SQL trim
@@ -1530,7 +1586,7 @@ object SparkEntry {
        |  SELECT doc_id, concat_ws(' ', tk[i], tk[i+1], tk[i+2]) AS s
        |  FROM toks, unnest(range(1, len(tk) - 1)) AS g(i)
        |  WHERE len(tk) >= 3),
-       |shh AS (SELECT doc_id, ${fnvSql("s")} AS h FROM sh),
+       |shh AS (SELECT doc_id, ${if (byteTrueFnv) fnvSqlBytes("s") else fnvSql("s")} AS h FROM sh),
        |slots AS (SELECT * FROM (VALUES $oracleMinhashSlotValues) k(j, kj)),
        |sig AS (
        |  -- the engine's min is over SIGNED longs (TextOps.minHash compares
@@ -2182,6 +2238,23 @@ object SparkEntry {
          |  (min(CASE WHEN o.owner = k.doc_id THEN 1 ELSE 0 END) = 1) AS kept
          |FROM keys k JOIN own o USING (bk)
          |GROUP BY k.doc_id""".stripMargin,
+
+    // the q25 replay over the multi-byte corpus, with the BYTE-TRUE FNV
+    // (encode()'d hex pairs — exact UTF-8 bytes, any width)
+    "q76_minhash_utf8" ->
+      s"""WITH docs AS (SELECT * FROM (VALUES $oracleUtf8CorpusValues) d(doc_id, text)),
+         |${minhashBandCtes("docs", byteTrueFnv = true)},
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |feat AS (SELECT doc_id, list_distinct(list(s)) AS sh, count(DISTINCT s) AS n
+         |         FROM sh GROUP BY doc_id)
+         |SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+         |  round(CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
+         |    (fa.n + fb.n - len(list_intersect(fa.sh, fb.sh))), 6) AS jaccard
+         |FROM pairs JOIN feat fa ON fa.doc_id = doc_a JOIN feat fb ON fb.doc_id = doc_b
+         |WHERE CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
+         |    (fa.n + fb.n - len(list_intersect(fa.sh, fb.sh))) >= 0.5""".stripMargin,
 
     // the streaming query's oracle is the BATCH twin (q63's band replay)
     // in kept-docs form: retained ids + their band count — the stream's

@@ -184,4 +184,56 @@ object Snapshots {
       throw new IllegalArgumentException(s"no snapshot at or before $tsMs at $tableDir")
     readDirs(spark, tableDir, cands.last)
   }
+
+  /**
+   * Expire all but the newest `keepLast` snapshots (Iceberg
+   * `expire_snapshots`): their manifests are deleted, so those versions
+   * stop being readable. Data directories are NOT touched — data a
+   * surviving snapshot still references must live on, and even
+   * expired-only data waits for [[vacuum]] (two-phase, like Iceberg's
+   * expire + remove_orphan_files split). Returns the expired ids.
+   */
+  def expire(tableDir: String, keepLast: Int = 1): Seq[Long] = {
+    require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast) — a table never loses its head")
+    val gone = snapshots(tableDir).dropRight(keepLast)
+    gone.foreach(s => Files.deleteIfExists(manifestDir(tableDir).resolve(s"v${s.id}.json")))
+    gone.map(_.id)
+  }
+
+  /**
+   * Delete every `data/<uuid>` directory no surviving manifest references
+   * — expired versions' exclusive data plus lost-race orphans (commit()
+   * documents that a writer losing all its races leaves its invisible
+   * data dir behind by design). Directories referenced by ANY remaining
+   * snapshot are never touched, so pinned readers keep their view.
+   *
+   * `graceMs` (Iceberg's `older_than` guard): only dirs last modified
+   * more than this long ago are deleted, so a vacuum racing an in-flight
+   * commit cannot reap a data dir written moments before its manifest
+   * lands. Pass 0 only when no writer can be active. Returns removed dirs
+   * (table-relative).
+   */
+  def vacuum(tableDir: String, graceMs: Long = 3600000L): Seq[String] = {
+    val live = snapshots(tableDir).flatMap(_.dirs).toSet
+    val dataRoot = Paths.get(tableDir, "data")
+    if (!Files.isDirectory(dataRoot)) return Seq.empty
+    val cutoff = System.currentTimeMillis() - graceMs
+    val children = {
+      val s = Files.list(dataRoot)
+      try s.iterator().asScala.toVector finally s.close()
+    }
+    val dead = children.filter { p =>
+      Files.isDirectory(p) && !live.contains(s"data/${p.getFileName}") &&
+        Files.getLastModifiedTime(p).toMillis <= cutoff
+    }
+    def rm(p: Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try s.iterator().asScala.toVector.foreach(rm) finally s.close()
+      }
+      Files.deleteIfExists(p)
+    }
+    dead.foreach(rm)
+    dead.map(p => s"data/${p.getFileName}").sorted
+  }
 }

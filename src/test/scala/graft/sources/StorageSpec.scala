@@ -139,4 +139,50 @@ class StorageSpec extends AnyFunSuite {
       Snapshots.readVersionAsOf(spark, dir, 99L)
     }
   }
+
+  test("snapshot maintenance: expire keeps the head readable; vacuum reaps only dead dirs") {
+    val dir = Files.createTempDirectory("graft-snapvac").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val v1 = Snapshots.commit(docs.filter($"doc_id" < 10), dir)
+    val v2 = Snapshots.commit(docs.filter($"doc_id" >= 10 && $"doc_id" < 20), dir) // append
+    val v3 = Snapshots.commit(docs.filter($"doc_id" >= 100 && $"doc_id" < 105), dir,
+      overwrite = true) // references ONLY its own data dir
+    // plant a lost-race-style orphan: a data dir no manifest references
+    val orphan = java.nio.file.Paths.get(dir, "data", "orphan-test-uuid")
+    Files.createDirectories(orphan)
+    Files.writeString(orphan.resolve("part-junk.parquet"), "junk")
+
+    def dataDirs = {
+      val s = Files.list(java.nio.file.Paths.get(dir, "data"))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString).toSet
+      } finally s.close()
+    }
+    assert(dataDirs.size === 4) // 3 commits + orphan
+
+    // grace window: nothing young enough gets reaped
+    assert(Snapshots.vacuum(dir).isEmpty && dataDirs.size === 4)
+    // grace 0: ONLY the orphan goes; every snapshot stays fully readable
+    assert(Snapshots.vacuum(dir, graceMs = 0L) === Seq("data/orphan-test-uuid"))
+    assert(Snapshots.readVersionAsOf(spark, dir, v1).count() === 10)
+    assert(Snapshots.readVersionAsOf(spark, dir, v2).count() === 20)
+    assert(Snapshots.read(spark, dir).count() === 5)
+
+    // expire everything but the head: old versions stop resolving, the
+    // head still reads, data dirs wait for vacuum (two-phase)
+    assert(Snapshots.expire(dir, keepLast = 1) === Seq(v1, v2))
+    intercept[IllegalArgumentException] { Snapshots.readVersionAsOf(spark, dir, v1) }
+    intercept[IllegalArgumentException] { Snapshots.readVersionAsOf(spark, dir, v2) }
+    assert(Snapshots.read(spark, dir).count() === 5)
+    assert(dataDirs.size === 3, "expire must not touch data")
+    // vacuum now reaps v1/v2's exclusive dirs (v3 was an overwrite), and
+    // the surviving head keeps reading afterwards
+    assert(Snapshots.vacuum(dir, graceMs = 0L).size === 2)
+    assert(dataDirs.size === 1)
+    assert(Snapshots.read(spark, dir).select($"doc_id").collect()
+      .map(_.getLong(0)).toSet === (100L until 105L).toSet)
+    // keepLast < 1 is a contract violation
+    intercept[IllegalArgumentException] { Snapshots.expire(dir, keepLast = 0) }
+  }
 }
