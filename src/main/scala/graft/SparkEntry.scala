@@ -501,6 +501,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    "q77_trigram_langid" -> ((s, d) => {
+      // char-trigram Naive-Bayes language id (the production-shaped
+      // upgrade of q24's stopword heuristic): model constants baked in
+      // the JVM, scores summed in document order on both engines — exact
+      // compare, no quantum (see pipeline.TrigramLangId)
+      t(s, d, "documents")
+        .select(col("lang"),
+          graft.pipeline.TrigramLangId.predict(col("text")).as("pred_lang"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "q25_minhash_pairs" -> ((s, d) => {
       graft.functions.registerAll(s)
       // MinHash + LSH banding near-dup pairs: shingle -> 64-slot signature
@@ -1975,6 +1987,18 @@ object SparkEntry {
 
     // profile score = #profile words present in toks (array_intersect is
     // distinct and profiles are distinct); CASE chain = first-max-wins
+    // trigram NB: the model's log-prob maps emitted as literals, scores
+    // re-summed in the same document order -> bit-identical doubles
+    "q77_trigram_langid" ->
+      s"""WITH scored AS (
+        |  SELECT lang,
+        |    ${graft.pipeline.TrigramLangId.scoreSql("text")}
+        |  FROM documents)
+        |SELECT lang,
+        |  ${graft.pipeline.TrigramLangId.predCaseSql} AS pred_lang,
+        |  count(*) AS n
+        |FROM scored GROUP BY lang, pred_lang""".stripMargin,
+
     // scores + first-max CASE generated from pipeline.LangId's profile
     // constants — the same single definition the engine predicts with
     "q24_langid" ->

@@ -75,3 +75,118 @@ object LangId {
        |       ELSE '${langs.last}' END""".stripMargin
   }
 }
+
+/**
+ * Char-trigram Naive-Bayes language id (q77; the r3 verdict's "richer
+ * langid" stretch): per-language trigram log-probability models derived
+ * deterministically from built-in seed corpora, scored as ONE left-fold
+ * per language over the document's trigram list.
+ *
+ * Cross-engine EXACTNESS by construction: the log-probs are computed once
+ * in the JVM and emitted into the DuckDB oracle as double literals; both
+ * engines then add the SAME doubles in the SAME (document) order — no
+ * libm calls at query time, so the scores are bit-identical and the
+ * argmax (first-max rule, [[LangId]]'s proven scan) needs no quantum.
+ */
+object TrigramLangId {
+
+  /** ASCII-only, apostrophe-free seed text (~1 sentence-cluster each) —
+    * the model's ONLY input, so the model is a pure function of this. */
+  val Seeds: Seq[(String, String)] = Seq(
+    "en" -> ("the quick brown fox jumps over the lazy dog and then the rain " +
+      "in spain stays mainly on the plain while the children play in the " +
+      "garden with their friends near the old stone bridge"),
+    "es" -> ("el rapido zorro marron salta sobre el perro perezoso y la " +
+      "lluvia en sevilla es una maravilla mientras los ninos juegan en el " +
+      "jardin con sus amigos cerca del viejo puente de piedra"),
+    "de" -> ("der schnelle braune fuchs springt ueber den faulen hund und " +
+      "der regen in deutschland bleibt meistens im tal waehrend die kinder " +
+      "im garten mit ihren freunden an der alten steinbruecke spielen"),
+    "fr" -> ("le rapide renard brun saute par dessus le chien paresseux et " +
+      "la pluie en france reste surtout dans la plaine pendant que les " +
+      "enfants jouent dans le jardin avec leurs amis pres du vieux pont de pierre"))
+
+  val langs: Seq[String] = Seeds.map(_._1)
+
+  /** The out-of-vocabulary weight rides in each map under this key — a
+    * 1-char key can never collide with a 3-char trigram. */
+  val UnseenKey = "~"
+
+  private def gramsOf(s: String): Seq[String] =
+    (0 to s.length - 3).map(i => s.substring(i, i + 3))
+
+  /** lang -> (trigram -> ln((c+1)/(total+V))), plus [[UnseenKey]] ->
+    * ln(1/(total+V)); V = the union vocabulary (add-one smoothing). */
+  lazy val model: Seq[(String, Map[String, Double])] = {
+    val counts = Seeds.map { case (l, s) =>
+      l -> gramsOf(s).groupBy(identity).view.mapValues(_.size).toMap
+    }
+    val vocab = counts.flatMap(_._2.keys).toSet.size
+    counts.map { case (l, c) =>
+      val total = c.values.sum
+      val m = c.map { case (g, n) => g -> math.log((n + 1).toDouble / (total + vocab)) }
+      l -> (m + (UnseenKey -> math.log(1.0 / (total + vocab))))
+    }
+  }
+
+  /** Predicted language: argmax over the four summed-log-prob folds.
+    * Ties (only possible for <3-char docs, all scores 0) go to the first
+    * profile — same first-max rule as [[LangId.predict]]. */
+  def predict(text: Column): Column = {
+    val t = lower(text)
+    val grams = when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => substr(t, i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+    def argmax(gs: Column): Column = {
+      val scores = transform(typedLit(model.map(_._2)), m =>
+        aggregate(gs, lit(0.0), (acc, g) =>
+          acc + coalesce(element_at(m, g), element_at(m, lit(UnseenKey)))))
+      aggregate(
+        zip_with(scores, sequence(lit(1), lit(langs.size)),
+          (sc, i) => struct(sc.as("s"), i.as("i"))),
+        struct(lit(Double.NegativeInfinity).as("s"), lit(0).as("i")),
+        (acc, x) => when(x("s") > acc("s"), x).otherwise(acc),
+        acc => element_at(typedLit(langs), acc("i")))
+    }
+    element_at(transform(array(grams), gs => argmax(gs)), 1)
+  }
+
+  private def dlit(d: Double): String = {
+    val s = d.toString
+    if (s.contains("E") || s.contains("e")) s else s + "E0"
+  }
+
+  private def mapSql(m: Map[String, Double]): String = {
+    val entries = m.toSeq.sortBy(_._1) // deterministic SQL text
+    s"map([${entries.map(e => s"'${e._1}'").mkString(",")}], " +
+      s"[${entries.map(e => dlit(e._2)).mkString(",")}])"
+  }
+
+  /** Per-language score select list: the same left-fold over the same
+    * trigram list with the same double constants (element_at on a map
+    * returns a 1-or-0 element LIST in DuckDB — hence `[1]`). */
+  def scoreSql(textExpr: String): String = {
+    val gramList =
+      s"list_transform(range(1, length(lower($textExpr)) - 1), " +
+        s"i -> substring(lower($textExpr), CAST(i AS BIGINT), 3))"
+    model.zipWithIndex.map { case ((_, m), i) =>
+      val mp = mapSql(m)
+      s"""list_reduce(list_prepend(0.0E0, list_transform($gramList,
+         |      g -> coalesce(element_at($mp, g)[1], element_at($mp, '$UnseenKey')[1]))),
+         |      (a, b) -> a + b) AS s${i + 1}""".stripMargin
+    }.mkString(",\n    ")
+  }
+
+  /** First-max CASE — NO 'und' clause (log-prob scores are always finite
+    * and usually negative; [[LangId.predCaseSql]]'s `<= 0` guard would
+    * swallow everything). */
+  def predCaseSql: String = {
+    val n = langs.size
+    val branches = (1 until n).map { i =>
+      val conds = (i + 1 to n).map(j => s"s$i >= s$j").mkString(" AND ")
+      s"WHEN $conds THEN '${langs(i - 1)}'"
+    }.mkString("\n       ")
+    s"""CASE $branches
+       |       ELSE '${langs.last}' END""".stripMargin
+  }
+}
