@@ -133,6 +133,24 @@ case class StContainsFlat(first: Expression, second: Expression, third: Expressi
     copy(f, s, t)
 }
 
+/** Haversine meters to the nearest segment of a flattened closed shell
+  * (q75 boundary-kNN metric) — kernel loop, codegen'd like the PIP
+  * refine. */
+case class StDistanceToShellM(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = false), DoubleType, DoubleType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "st_distance_to_shell_m"
+  override protected def nullSafeEval(f: Any, x: Any, y: Any): Any =
+    GeoOps.stDistanceToShellM(f.asInstanceOf[ArrayData], x.asInstanceOf[Double], y.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (f, x, y) => s"graft.expr.GeoOps.stDistanceToShellM($f, $x, $y)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): StDistanceToShellM =
+    copy(f, s, t)
+}
+
 /** Contains-or-boundary (conservative cover probes). */
 case class StCovers(first: Expression, second: Expression, third: Expression)
     extends TernaryExpression with ImplicitCastInputTypes {

@@ -20,6 +20,21 @@ case class HashText(child: Expression)
   override protected def withNewChildInternal(c: Expression): HashText = copy(c)
 }
 
+/** Char-trigram Naive-Bayes language prediction (q77) — kernel fold over
+  * [[TrigramModel]]'s static maps, codegen'd. */
+case class TrigramLangPredict(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "trigram_lang_predict"
+  override protected def nullSafeEval(s: Any): Any =
+    TrigramModel.predict(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expr.TrigramModel.predict($s)")
+  override protected def withNewChildInternal(c: Expression): TrigramLangPredict = copy(c)
+}
+
 /** Word n-gram shingles. */
 case class WordShingles(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

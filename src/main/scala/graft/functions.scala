@@ -31,6 +31,8 @@ object functions {
   def st_area(poly: Column): Column = toCol(StArea(toExpr(poly)))
   def st_distance_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
     toCol(StDistanceM(toExpr(lon1), toExpr(lat1), toExpr(lon2), toExpr(lat2)))
+  def st_distance_to_shell_m(flat: Column, x: Column, y: Column): Column =
+    toCol(StDistanceToShellM(toExpr(flat), toExpr(x), toExpr(y)))
   def viewport(w: Column, s: Column, e: Column, n: Column): Column =
     toCol(Viewport(toExpr(w), toExpr(s), toExpr(e), toExpr(n)))
 
@@ -95,6 +97,7 @@ object functions {
     "st_covers" -> ((e => StCovers(e(0), e(1), e(2))): Builder),
     "flatten_shell" -> ((e => FlattenShell(e.head)): Builder),
     "st_contains_flat" -> ((e => StContainsFlat(e(0), e(1), e(2))): Builder),
+    "st_distance_to_shell_m" -> ((e => StDistanceToShellM(e(0), e(1), e(2))): Builder),
     "st_isvalid" -> ((e => StIsValid(e.head)): Builder),
     "st_intersection" -> ((e => StIntersection(e(0), e(1))): Builder),
     "st_envelope" -> ((e => StEnvelope(e.head)): Builder),

@@ -366,32 +366,12 @@ object SpatialJoin {
         ((col("env.minx") + col("env.maxx")) / 2).as("clon"),
         ((col("env.miny") + col("env.maxy")) / 2).as("clat"))
 
-  /**
-   * Haversine meters from a point to the nearest segment of a flattened
-   * closed shell ring ([x0,y0,...,x0,y0]): per segment, clamp the planar
-   * (equirectangular lon/lat) projection parameter to [0,1], then
-   * haversine to the clamped closest point. Pure composition of built-in
-   * HOFs + the codegen'd st_distance_m kernel; the q75 oracle replays the
-   * textually identical chain in DuckDB (only rank output is compared —
-   * cross-engine libm ULP policy, same as q49).
-   */
-  def st_distance_to_shell_m(bflat: Column, px: Column, py: Column): Column = {
-    // size/2 via `/` yields DOUBLE in Spark SQL — cast back for sequence()
-    val n = (size(bflat) / lit(2)).cast("int")
-    array_min(transform(sequence(lit(0), n - lit(2)), i => {
-      val ax = element_at(bflat, i * lit(2) + lit(1))
-      val ay = element_at(bflat, i * lit(2) + lit(2))
-      val bx = element_at(bflat, i * lit(2) + lit(3))
-      val by = element_at(bflat, i * lit(2) + lit(4))
-      val dx = bx - ax
-      val dy = by - ay
-      val d2 = dx * dx + dy * dy
-      val tRaw = ((px - ax) * dx + (py - ay) * dy) / d2
-      val t = when(d2 === lit(0.0), lit(0.0))
-        .otherwise(least(lit(1.0), greatest(lit(0.0), tRaw)))
-      st_distance_m(px, py, ax + t * dx, ay + t * dy)
-    }))
-  }
+  // point-to-shell distance is graft.functions.st_distance_to_shell_m —
+  // a codegen'd kernel expression (GeoOps.stDistanceToShellM); the first
+  // cut composed the same arithmetic from built-in HOFs and measured 50x
+  // slower at sf0.1 (114.9s for q75): per-candidate lambda evaluation
+  // leaves whole-stage codegen AND re-boxes every element_at. Same float
+  // operation order, so ranks (the graded output) are unchanged.
 
   private def knnStaged(pagesIn: DataFrame, dim: DataFrame, k: Int,
                         level: Int, radius: Int, maxLocalRows: Int,
