@@ -59,6 +59,24 @@ object SparkEntry {
   private lazy val oracleUtf8CorpusValues: String =
     Utf8Corpus.map { case (id, t) => s"($id, '$t')" }.mkString(",")
 
+  /** q80's messy-URL corpus — ONE constant, both sides; rows (1,2) and
+    * (3,4) canonicalize to the same resource, 5/6 keep non-default
+    * ports, 10 pins case-sensitive param sorting. */
+  private val UrlCorpus: Seq[(Long, String)] = Seq(
+    1L -> "HTTP://Example.COM:80/path/Page?b=2&a=1#frag",
+    2L -> "http://example.com/path/Page?a=1&b=2",
+    3L -> "https://Sub.Example.org:443/",
+    4L -> "https://sub.example.org/",
+    5L -> "http://example.com:8080/keep-port",
+    6L -> "ftp://Files.Example.net:21/data",
+    7L -> "https://example.com/search?q=golf+course&lang=en&q2=x",
+    8L -> "https://example.com/search#only-fragment",
+    9L -> "http://EXAMPLE.com:80?x=1",
+    10L -> "https://example.com/a%20b?Z=1&z=2")
+
+  private lazy val oracleUrlCorpusValues: String =
+    UrlCorpus.map { case (id, u) => s"($id, '$u')" }.mkString(",")
+
   private val PiiEmail = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
   private val PiiPhone = """\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}"""
   private val PiiIp = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
@@ -513,6 +531,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
     }),
 
+    "q80_url_canonical" -> ((s, d) => {
+      import s.implicits._
+      // crawl-side URL canonicalization over the planted messy corpus,
+      // plus the dedup grouping it exists for (canonical -> url count);
+      // pipeline.Urls holds the ONE rule set + the generated SQL twin
+      val urls = graft.sources.Storage.localize(UrlCorpus.toDF("url_id", "url"))
+      urls.select(col("url_id"), col("url"),
+        graft.pipeline.Urls.canonicalize(col("url")).as("canon"))
+    }),
+
+    "q79_trigram_fluency" -> ((s, d) => {
+      // per-doc fluency/quality: best-language mean trigram log-prob
+      // (near the unseen floor = gibberish) + the predicted language —
+      // the perplexity-style scoring column a curation pass thresholds
+      // on. Both columns bit-exact cross-engine (kernel fold + one
+      // division; no libm at query time)
+      t(s, d, "documents").select(col("doc_id"),
+        graft.pipeline.TrigramLangId.predict(col("text")).as("pred_lang"),
+        graft.pipeline.TrigramLangId.fluency(col("text")).as("fluency"))
+    }),
+
     "q25_minhash_pairs" -> ((s, d) => {
       graft.functions.registerAll(s)
       // MinHash + LSH banding near-dup pairs: shingle -> 64-slot signature
@@ -561,6 +600,30 @@ object SparkEntry {
             size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    "q78_neardup_components" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // cluster-level near-dup retention: connected components of the
+      // jaccard-verified pair graph (q25's pairs), one representative
+      // (the min id) kept per component — the rule production dedup
+      // passes apply when "first seen" is not well-defined. Components
+      // via iterative min-label propagation (Dedup.connectedComponents);
+      // the oracle closes the same graph with a recursive CTE.
+      val docs = t(s, d, "documents")
+      val banded = graft.pipeline.Dedup.banded(docs, "doc_id")
+      val a = banded.as("a"); val b = banded.as("b")
+      val cand = a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      val feat = docs.select(col("doc_id"), gf.word_shingles(col("text"), lit(3)).as("sh"))
+      val pairs = cand
+        .join(feat.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(feat.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      graft.pipeline.Dedup.connectedComponents(pairs)
+        .withColumn("kept", col("doc_id") === col("component"))
     }),
 
     "q63_minhash_dedup" -> ((s, d) => {
@@ -1987,6 +2050,25 @@ object SparkEntry {
 
     // profile score = #profile words present in toks (array_intersect is
     // distinct and profiles are distinct); CASE chain = first-max-wins
+    // the same canonicalization chain generated from Urls' constants
+    "q80_url_canonical" ->
+      s"""WITH urls AS (SELECT * FROM (VALUES $oracleUrlCorpusValues) u(url_id, url))
+         |SELECT CAST(url_id AS BIGINT) AS url_id, url,
+         |  ${graft.pipeline.Urls.canonicalizeSql("url")} AS canon
+         |FROM urls""".stripMargin,
+
+    // fluency = greatest(score folds) / (len-2), every double re-derived
+    "q79_trigram_fluency" ->
+      s"""WITH scored AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+        |    ${graft.pipeline.TrigramLangId.scoreSql("text")}
+        |  FROM documents)
+        |SELECT doc_id,
+        |  ${graft.pipeline.TrigramLangId.predCaseSql} AS pred_lang,
+        |  CASE WHEN len < 3 THEN 0.0E0
+        |       ELSE greatest(s1, s2, s3, s4) / (len - 2) END AS fluency
+        |FROM scored""".stripMargin,
+
     // trigram NB: the model's log-prob maps emitted as literals, scores
     // re-summed in the same document order -> bit-identical doubles
     "q77_trigram_langid" ->
@@ -2279,6 +2361,30 @@ object SparkEntry {
          |FROM pairs JOIN feat fa ON fa.doc_id = doc_a JOIN feat fb ON fb.doc_id = doc_b
          |WHERE CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
          |    (fa.n + fb.n - len(list_intersect(fa.sh, fb.sh))) >= 0.5""".stripMargin,
+
+    // components of the SAME pair graph, closed independently: recursive
+    // transitive closure from each node, component = min reachable id
+    "q78_neardup_components" ->
+      s"""WITH RECURSIVE ${minhashBandCtes()},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |feat AS (SELECT doc_id, list_distinct(list(s)) AS sh, count(DISTINCT s) AS n
+         |         FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN feat fa ON fa.doc_id = doc_a JOIN feat fb ON fb.doc_id = doc_b
+         |  WHERE CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
+         |      (fa.n + fb.n - len(list_intersect(fa.sh, fb.sh))) >= 0.5),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+         |          UNION SELECT doc_b, doc_a FROM pairs),
+         |r(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.a, r.b FROM edges e JOIN r ON e.b = r.a)
+         |SELECT CAST(a AS BIGINT) AS doc_id, CAST(min(b) AS BIGINT) AS component,
+         |  (a = min(b)) AS kept
+         |FROM r GROUP BY a""".stripMargin,
 
     // the streaming query's oracle is the BATCH twin (q63's band replay)
     // in kept-docs form: retained ids + their band count — the stream's

@@ -94,4 +94,31 @@ object TrigramModel {
     }
     predUtf8(bi)
   }
+
+  /** Perplexity-style fluency score: the BEST language's mean per-trigram
+    * log-prob (higher = more natural text under some profile — gibberish
+    * scores near the unseen floor). Same fold as [[predict]], then ONE
+    * division; both steps replayed verbatim by the oracle, so the double
+    * is bit-identical cross-engine. 0.0 for <3-char docs (no grams). */
+  def bestAvgLogProb(s: UTF8String): Double = {
+    val t = s.toString.toLowerCase(java.util.Locale.ROOT)
+    val nGrams = t.length - 2
+    if (nGrams <= 0) return 0.0
+    var best = Double.NegativeInfinity
+    var l = 0
+    while (l < langs.length) {
+      val m = maps(l)
+      val miss = unseen(l)
+      var score = 0.0
+      var i = 0
+      while (i < nGrams) {
+        val w = m.get(t.substring(i, i + 3))
+        score += (if (w == null) miss else w.doubleValue())
+        i += 1
+      }
+      if (score > best) best = score
+      l += 1
+    }
+    best / nGrams
+  }
 }

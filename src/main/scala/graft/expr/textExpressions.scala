@@ -35,6 +35,21 @@ case class TrigramLangPredict(child: Expression)
   override protected def withNewChildInternal(c: Expression): TrigramLangPredict = copy(c)
 }
 
+/** Best-language mean trigram log-prob (q79 fluency score) — kernel
+  * twin of [[TrigramLangPredict]]. */
+case class TrigramFluency(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "trigram_fluency"
+  override protected def nullSafeEval(s: Any): Any =
+    TrigramModel.bestAvgLogProb(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expr.TrigramModel.bestAvgLogProb($s)")
+  override protected def withNewChildInternal(c: Expression): TrigramFluency = copy(c)
+}
+
 /** Word n-gram shingles. */
 case class WordShingles(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

@@ -40,6 +40,57 @@ object Dedup {
           lit(RowsPerBand))).as("band"): _*)
 
   /**
+   * Connected components of the near-dup pair graph — the CLUSTER-level
+   * retention a production dedup pass runs (keep one representative per
+   * component of the verified-pair graph), complementing the greedy
+   * first-wins rule. Iterative min-label propagation to fixpoint:
+   * label(doc) := min(label(doc), min label over neighbors), repeated
+   * until no label changes — deterministic at any partitioning (min is
+   * order-free), converging to component = min doc id reachable.
+   *
+   * Scale shape: each iteration is one equi-join (edges x labels) + one
+   * groupBy-min + one left join — all shuffles on doc-id keys, state is
+   * the (docs-in-pairs)-sized label frame, lineage broken per iteration
+   * by the same size-gated localize the kNN stages use (q62's iterative
+   * k-means discipline). Iteration count is the graph diameter, which
+   * for LSH near-dup clusters is small; `maxIter` is a guard, not a
+   * tuning knob — hitting it throws rather than returning a
+   * half-converged labeling. (The large-star/small-star variant halves
+   * the iteration count at extreme diameters; min-propagation is the
+   * right default while diameters stay single-digit.)
+   *
+   * Returns `(doc_id, component)` for every doc appearing in `pairs`.
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+                          maxLocalRows: Int = 1 << 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    var labels = graft.sources.Storage.localizeOrCheckpoint(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("component", col("doc_id")), maxLocalRows)
+    var it = 0
+    while (it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("component").as("dst_c")), Seq("dst"))
+        .groupBy(col("src").as("doc_id")).agg(min(col("dst_c")).as("nbr_c"))
+      val next = graft.sources.Storage.localizeOrCheckpoint(
+        labels.join(nbrMin, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("component"), coalesce(col("nbr_c"), col("component"))).as("component")),
+        maxLocalRows)
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.doc_id") === col("o.doc_id"))
+        .filter(col("n.component") < col("o.component")).count()
+      labels = next
+      if (changed == 0L) return labels
+      it += 1
+    }
+    throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter iterations — " +
+        "graph diameter exceeds the guard; raise maxIter deliberately")
+  }
+
+  /**
    * First-wins retention over a [[banded]] frame: `(doc_id, kept)` where
    * kept = the doc is the smallest-id claimant of EVERY band it occupies
    * ("dedup against seen" — the greedy order-respecting rule a single

@@ -105,6 +105,12 @@ object TrigramLangId {
     org.apache.spark.sql.graftShim.column(
       graft.expr.TrigramLangPredict(org.apache.spark.sql.graftShim.expression(text)))
 
+  /** Best-language mean trigram log-prob — the q79 fluency/quality score
+    * (same kernel fold + one division; bit-exact cross-engine). */
+  def fluency(text: Column): Column =
+    org.apache.spark.sql.graftShim.column(
+      graft.expr.TrigramFluency(org.apache.spark.sql.graftShim.expression(text)))
+
   private def dlit(d: Double): String = {
     val s = d.toString
     if (s.contains("E") || s.contains("e")) s else s + "E0"

@@ -168,6 +168,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components == brute union-find (random graphs + chain worst case)") {
+    def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      // union by min: every merge roots at the smaller id, so the final
+      // root of each set IS the component minimum
+      edges.foreach { case (x, y) =>
+        val rx = find(x); val ry = find(y)
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+    }
+    def engine(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      Dedup.connectedComponents(edges.toDF("doc_a", "doc_b")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 4) {
+      val edges = Seq.fill(60)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      assert(engine(edges) == brute(edges))
+    }
+    // a 16-node chain: diameter 15 — min-label propagation's worst case
+    // inside the default iteration guard
+    val chain = (0L until 15L).map(i => (i, i + 1))
+    val got = engine(chain)
+    assert(got.size == 16 && got.values.toSet == Set(0L))
+    // guard trips rather than returning a half-converged labeling
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(
+        (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"), maxIter = 5)
+    }
+  }
+
   test("semi + anti variants partition the pages exactly") {
     val p = Pages.pages(spark, sfDir, SparkEntry.Amp)
     val total = p.count()
