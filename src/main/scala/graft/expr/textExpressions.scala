@@ -50,6 +50,21 @@ case class TrigramFluency(child: Expression)
   override protected def withNewChildInternal(c: Expression): TrigramFluency = copy(c)
 }
 
+/** splitmix64 finalizer as a standalone expression (sketch slot hashing,
+  * q82) — the same mixer the minhash slots already replay in SQL. */
+case class Mix64(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "mix64"
+  override protected def nullSafeEval(z: Any): Any =
+    TextOps.mix64(z.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, z => s"graft.expr.TextOps.mix64($z)")
+  override protected def withNewChildInternal(c: Expression): Mix64 = copy(c)
+}
+
 /** Word n-gram shingles. */
 case class WordShingles(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

@@ -214,6 +214,32 @@ object CourseEngine {
         (expr("bit_count(mask)") / lit(64.0)).as("coverage"))
   }
 
+  /**
+   * Tile-pyramid rollup (q81): aggregate leaf-zoom coverage masks up the
+   * slippy pyramid to `minZoom` — the serving-side index a map stack
+   * queries at every zoom. Pure bit math: the zoom-(z-d) parent of tile
+   * (x, y) is (x >> d, y >> d), so the whole pyramid is ONE explode of
+   * (zoom-minZoom+1) literal-shift branches followed by ONE groupBy —
+   * a single shuffle regardless of pyramid depth. `sum_coverage` sums
+   * exact 1/64-dyadic fractions, so it is bit-identical at any
+   * partitioning / aggregation order (no float-order caveat).
+   */
+  def tilePyramid(masks: DataFrame, zoom: Int, minZoom: Int): DataFrame = {
+    require(minZoom <= zoom, s"minZoom $minZoom must be <= leaf zoom $zoom")
+    val levels = (0 to zoom - minZoom).map { d =>
+      struct(lit(zoom - d).as("pz"),
+        shiftright(col("x"), d).as("px"), shiftright(col("y"), d).as("py"))
+    }
+    masks
+      .select(col("clubId"), col("courseId"), col("holeNumber"), col("coverage"),
+        explode(array(levels: _*)).as("p"))
+      .groupBy(col("p.pz").as("z"), col("p.px").as("x"), col("p.py").as("y"))
+      .agg(count(lit(1)).as("n_entries"),
+        countDistinct(concat_ws("/", col("clubId"), col("courseId"),
+          col("holeNumber"))).as("n_features"),
+        sum(col("coverage")).as("sum_coverage"))
+  }
+
   /** Priority reorder — W2 (plot_courses.py:340-352): given priority hole
     * keys, order them first, everything else after, stable by key. */
   def priorityOrder(bounds: DataFrame, priority: Seq[(String, String, Int)]): DataFrame = {

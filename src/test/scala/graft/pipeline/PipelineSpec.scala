@@ -702,6 +702,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("SMJ scale path plan shape: sort-merge on (cell, salt), no broadcast of the cover, no BNLJ") {
+    val p = Pages.pages(spark, sfDir, SparkEntry.Amp)
+    // AQE off for the pin: at THIS test's toy scale AQE would legally
+    // demote the sort-merge to broadcast (the cover fits); in the regime
+    // the path exists for it cannot, so the pinned property is the static
+    // strategy honoring the merge hint
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan = try {
+      val joined = SpatialJoin.assignPagesSmj(p, SpatialJoin.coverDf(bounds), bounds, nSalts = 4)
+      joined.collect()
+      joined.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    assert(plan.contains("SortMergeJoin"), s"q72's scale path must sort-merge:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"BNLJ in the scale path:\n$plan")
+    // the COVER must not be broadcast (that's the regime this path exists
+    // for); the refine dim broadcast is expected and fine
+    val smjSection = plan.substring(plan.indexOf("SortMergeJoin"))
+    assert(smjSection.contains("Exchange hashpartitioning"),
+      s"expected both SMJ inputs to arrive via hash exchanges:\n$plan")
+  }
+
   test("flagship plan shape: zero shuffle on the probe side, broadcast-only joins") {
     val p = Pages.pages(spark, sfDir, SparkEntry.Amp)
     // dims localized (the published-index production shape; the dim BUILD
