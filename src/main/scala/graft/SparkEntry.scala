@@ -557,6 +557,19 @@ object SparkEntry {
           (col("cms_est") >= col("exact_n")).as("never_under"))
     }),
 
+    "q83_hll_distinct" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // HyperLogLog host cardinality (pipeline.Sketch): 64 registers from
+      // one groupBy; estimate arithmetic exact cross-engine (integer
+      // harmonic numerator, one rounding + one division) — output carries
+      // the true distinct count for the accuracy story
+      val hosts = pages(s, d).select(
+        regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("k"))
+      val est = graft.pipeline.Sketch.hllEstimate(
+        graft.pipeline.Sketch.hllRegisters(hosts, col("k")))
+      est.crossJoin(hosts.agg(countDistinct(col("k")).as("exact_distinct")))
+    }),
+
     "q79_trigram_fluency" -> ((s, d) => {
       // per-doc fluency/quality: best-language mean trigram log-prob
       // (near the unseen floor = gibberish) + the predicted language —
@@ -2089,6 +2102,34 @@ object SparkEntry {
       |SELECT exact.k AS host, exact_n, CAST(cms_est AS BIGINT) AS cms_est,
       |  (cms_est >= exact_n) AS never_under
       |FROM exact JOIN est ON est.k = exact.k""".stripMargin),
+
+    // HLL replayed end-to-end: register indexes/ranks from the same
+    // hash (leading zeros via 64 - len(bin(w)) in the unsigned domain),
+    // integer harmonic numerator in HUGEINT, the identical scale
+    // constant divided in DOUBLE
+    "q83_hll_distinct" -> (pagesCte + s""",
+      |hosts AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS k FROM pages),
+      |hh AS (SELECT ${fnvSql("k")} AS h FROM hosts),
+      |rr AS (
+      |  SELECT CAST(h // 288230376151711744 AS BIGINT) AS idx,
+      |    CASE WHEN (h * 64) % $Wrap64 = 0 THEN ${graft.pipeline.Sketch.HllMaxRank}
+      |         ELSE CAST(65 - length(bin((h * 64) % $Wrap64)) AS INT) END AS rank
+      |  FROM hh),
+      |regs AS (SELECT idx, max(rank) AS m FROM rr GROUP BY idx),
+      |allreg AS (SELECT t.range AS idx FROM range(0, ${graft.pipeline.Sketch.HllM}) t),
+      |jm AS (SELECT coalesce(m, 0) AS m FROM allreg LEFT JOIN regs USING (idx)),
+      |agg AS (SELECT
+      |    sum(CAST(CAST(1 AS BIGINT) << (${graft.pipeline.Sketch.HllMaxRank} - m) AS HUGEINT)) AS num,
+      |    sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS occupied FROM jm)
+      |SELECT ${dlit(graft.pipeline.Sketch.HllNumeratorScale)} / CAST(num AS DOUBLE) AS hll_estimate,
+      |  CASE WHEN ${dlit(graft.pipeline.Sketch.HllNumeratorScale)} / CAST(num AS DOUBLE)
+      |         <= ${dlit(2.5 * graft.pipeline.Sketch.HllM)} AND (64 - occupied) > 0
+      |       THEN round(64.0 * ln(64.0 / CAST(64 - occupied AS DOUBLE)), 6)
+      |       ELSE round(${dlit(graft.pipeline.Sketch.HllNumeratorScale)} / CAST(num AS DOUBLE), 6)
+      |  END AS hll_corrected,
+      |  CAST(occupied AS BIGINT) AS occupied,
+      |  (SELECT count(DISTINCT k) FROM hosts) AS exact_distinct
+      |FROM agg""".stripMargin),
 
     // the same canonicalization chain generated from Urls' constants
     "q80_url_canonical" ->

@@ -65,6 +65,21 @@ case class Mix64(child: Expression)
   override protected def withNewChildInternal(c: Expression): Mix64 = copy(c)
 }
 
+/** Long.numberOfLeadingZeros — the HLL rank observable (q83); counts
+  * from bit 63, i.e. over the UNSIGNED bit pattern. */
+case class LeadingZeros(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "leading_zeros"
+  override protected def nullSafeEval(z: Any): Any =
+    java.lang.Long.numberOfLeadingZeros(z.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, z => s"java.lang.Long.numberOfLeadingZeros($z)")
+  override protected def withNewChildInternal(c: Expression): LeadingZeros = copy(c)
+}
+
 /** Word n-gram shingles. */
 case class WordShingles(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

@@ -49,4 +49,64 @@ object Sketch {
       .join(counters, Seq("j", "bucket"), "left")
       .groupBy(col("k"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
+  // ---- HyperLogLog (q83): p = 6 -> m = 64 registers ----------------------
+
+  val HllP = 6
+  val HllM: Int = 1 << HllP // 64
+  val HllMaxRank: Int = 64 - HllP + 1 // 59
+  /** alpha_64 from the HLL paper's small-m table; the full constant
+    * alpha * m^2 * 2^MaxRank is precomputed in the JVM and emitted into
+    * the oracle verbatim, so both engines divide the SAME double. */
+  val HllAlpha = 0.709
+  val HllNumeratorScale: Double = HllAlpha * HllM.toDouble * HllM.toDouble *
+    math.pow(2.0, HllMaxRank.toDouble)
+
+  /**
+   * HLL registers of `key`: (idx, m) where idx = top-p bits of the mixed
+   * hash, m = max(rank) with rank = leading zeros of (h << p) + 1 (the
+   * classic observable; h << p == 0 caps at MaxRank). One groupBy of at
+   * most m rows — the whole 10^12-row cardinality summary is 64 ints.
+   */
+  def hllRegisters(df: DataFrame, key: Column): DataFrame = {
+    val h = gf.hash_text(key) // FNV-fold + splitmix finalizer — already mixed
+    val w = shiftleft(h, HllP)
+    val rank = when(w === 0L, lit(HllMaxRank))
+      .otherwise(gf.leading_zeros(w) + lit(1))
+    df.select(shiftrightunsigned(h, 64 - HllP).as("idx"), rank.as("rank"))
+      .groupBy(col("idx")).agg(max(col("rank")).as("m"))
+  }
+
+  /**
+   * Raw HLL estimate (no small/large-range bias correction — documented
+   * scope; the q83 output carries the exact distinct count alongside).
+   * EXACT cross-engine arithmetic: the harmonic-mean denominator sum
+   * `Σ 2^-M_j` spans 59 binades, which double addition cannot hold
+   * exactly in any order — so the sum is computed as the INTEGER
+   * `Σ 2^(MaxRank - M_j)` (fits 66 bits -> DECIMAL(38,0) here, HUGEINT
+   * in the oracle), and only then divided into the precomputed scale
+   * constant: one int->double rounding + one division, both
+   * deterministic and identical on both engines.
+   */
+  def hllEstimate(regs: DataFrame): DataFrame = {
+    val spark = regs.sparkSession
+    val full = spark.range(0, HllM).select(col("id").cast("long").as("idx"))
+      .join(regs, Seq("idx"), "left")
+      .select(coalesce(col("m"), lit(0)).as("m"))
+    val raw = lit(HllNumeratorScale) / col("num").cast("double")
+    val empties = lit(HllM.toLong) - col("occupied")
+    // standard small-range correction: linear counting m*ln(m/V) when the
+    // raw estimate is <= 2.5m and empty registers remain. ln() is the one
+    // libm call — rounded to 1e-6, where ALL 63 possible V inputs sit
+    // >= 0.015 quanta from a rounding boundary (SketchSpec pins the whole
+    // table, so this can never red-hash on any data)
+    val corrected = when(raw <= lit(2.5 * HllM) && empties > 0,
+        round(lit(HllM.toDouble) * log(lit(HllM.toDouble) / empties.cast("double")), 6))
+      .otherwise(round(raw, 6))
+    full.agg(
+        sum(expr(s"shiftleft(1L, $HllMaxRank - m)")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("num"),
+        sum(when(col("m") > 0, 1).otherwise(0)).cast("long").as("occupied"))
+      .select(raw.as("hll_estimate"), corrected.as("hll_corrected"), col("occupied"))
+  }
 }
