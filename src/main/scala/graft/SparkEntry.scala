@@ -1351,6 +1351,29 @@ object SparkEntry {
         StructType(Seq(StructField("doc_id", LongType), StructField("n_bands", LongType))))
     }),
 
+    "q84_bottomk_sample" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // deterministic uniform sample: 100 docs with the smallest content
+      // hash (RNG-free, mergeable, identical at any partitioning —
+      // pipeline.Sample). The orderBy is TOTAL (hash, then doc_id), so
+      // the limit is deterministic (the q49 limit rule)
+      graft.pipeline.Sample.bottomK(
+        t(s, d, "documents").select(col("doc_id"), col("text")),
+        col("text"), col("doc_id"), 100)
+        .select(col("doc_id"), col("h"))
+    }),
+
+    // ---- MERGE INTO + CDC driven end-to-end: v1 = nation, v2 = merge
+    // of 5 updated comments + 1 new key (overwrite snapshot); the diff
+    // between versions is the changelog, re-derived by the oracle from
+    // the nation table alone ----
+    "q85_snapshot_merge_diff" -> ((s, d) => {
+      val dir = graft.data.Fixtures.mergeTable(s, d)
+      graft.sources.Snapshots.diff(s, dir, 1L, 2L)
+        .select(col("op"), col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+    }),
+
     // ---- snapshot time-travel driven end-to-end: rebuild a two-commit
     // table (full nation, then a fast-append of the <10 slice) and read
     // BOTH versions; the oracle recomputes each version's expected live
@@ -3071,6 +3094,30 @@ object SparkEntry {
          |    AND distinct_ratio >= 0.3) AS passed,
          |  ${graft.pipeline.LangId.predCaseSql} AS pred_lang
          |FROM scored""".stripMargin,
+
+    // the signed-order rule (CLAUDE.md): the engine sorts the hash as a
+    // SIGNED long, so the replay maps the unsigned HUGEINT back before
+    // ordering AND emits the same signed value
+    "q84_bottomk_sample" ->
+      s"""WITH h AS (SELECT doc_id, ${fnvSql("text")} AS hu FROM documents),
+         |s AS (SELECT doc_id,
+         |  CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+         |       THEN hu - $Wrap64 ELSE hu END AS BIGINT) AS h FROM h)
+         |SELECT doc_id, h FROM s ORDER BY h, doc_id LIMIT 100""".stripMargin,
+
+    // the merge changelog re-derived from nation: updates appear as
+    // delete+insert pairs, the new key as a bare insert
+    "q85_snapshot_merge_diff" ->
+      """SELECT 'insert' AS op, CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  'updated-' || n_nationkey AS n_name,
+        |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+        |FROM nation WHERE n_nationkey < 5
+        |UNION ALL
+        |SELECT 'insert', 99, 'ZZTOP', 0
+        |UNION ALL
+        |SELECT 'delete', CAST(n_nationkey AS BIGINT), n_name,
+        |  CAST(n_regionkey AS BIGINT)
+        |FROM nation WHERE n_nationkey < 5""".stripMargin,
 
     // snapshot time-travel: each version's live set recomputed from the
     // source table (v1 = full nation; v2 = v1 + the appended <10 slice)

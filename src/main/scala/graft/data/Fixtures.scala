@@ -245,6 +245,36 @@ object Fixtures {
     dir
   }
 
+  // -------------------------------------------------------------------
+  // q85 — merge/CDC table: v1 = full nation; v2 = MERGE of 5 updated
+  // comments + 1 brand-new key, committed as an overwrite snapshot. The
+  // diff between the versions is then fully derivable from the nation
+  // table alone (which is how the oracle re-derives it).
+  // -------------------------------------------------------------------
+  def mergeTable(spark: SparkSession, sfDir: String): String = {
+    import org.apache.spark.sql.functions._
+    val dir = s"$Root/merge_nation_${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    once(s"$dir#$sfDir") {
+      deleteRecursively(new java.io.File(dir))
+      val nation = spark.read.parquet(s"$sfDir/nation.parquet")
+      val v1 = graft.sources.Snapshots.commit(nation, dir)
+      // the new row's key types follow the table's own schema so the
+      // union can never widen silently (nation is 3 columns here:
+      // key/name/regionkey — the update rewrites n_name)
+      val newRow = nation.limit(1).select(
+        lit(99).cast(nation.schema("n_nationkey").dataType).as("n_nationkey"),
+        lit("ZZTOP").as("n_name"),
+        lit(0).cast(nation.schema("n_regionkey").dataType).as("n_regionkey"))
+      val updates = nation.filter(col("n_nationkey") < 5)
+        .withColumn("n_name",
+          concat(lit("updated-"), col("n_nationkey").cast("string")))
+        .unionByName(newRow)
+      val v2 = graft.sources.Snapshots.merge(spark, dir, updates, "n_nationkey")
+      require(v1 == 1L && v2 == 2L, s"fresh merge table must commit v1,v2 — got $v1,$v2")
+    }
+    dir
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete()

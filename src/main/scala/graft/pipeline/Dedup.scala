@@ -63,8 +63,15 @@ object Dedup {
    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           maxLocalRows: Int = 1 << 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    // materialize the edge list ONCE: every iteration references it, and
+    // without a lineage break the whole pair-generation upstream (the
+    // minhash banding in q78's case) would re-execute per round —
+    // measured 3.9s -> the edges are the loop's working set, exactly like
+    // q62's centroids
+    val edges = graft.sources.Storage.localizeOrCheckpoint(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      maxLocalRows)
     var labels = graft.sources.Storage.localizeOrCheckpoint(
       edges.select(col("src").as("doc_id")).distinct()
         .withColumn("component", col("doc_id")), maxLocalRows)

@@ -186,6 +186,37 @@ object Snapshots {
   }
 
   /**
+   * MERGE (upsert by key) as a new snapshot — Iceberg's MERGE INTO
+   * shape: rows of the current version whose key appears in `updates`
+   * are replaced; unmatched update rows are inserted; everything else
+   * carries over. Committed as an overwrite snapshot (the live set is
+   * the merged frame's fresh files), so prior versions stay readable and
+   * [[diff]] can derive the change set. Returns the new version id.
+   */
+  def merge(spark: SparkSession, tableDir: String, updates: DataFrame,
+            key: String): Long = {
+    val cur = read(spark, tableDir)
+    val merged = cur
+      .join(updates.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(updates)
+    commit(merged, tableDir, overwrite = true)
+  }
+
+  /**
+   * CDC between two committed versions: full-row diff — `op = 'insert'`
+   * for rows in `v2` but not `v1`, `op = 'delete'` for the reverse (an
+   * update appears as its delete + insert pair, the changelog form
+   * downstream consumers replay). exceptAll keeps duplicate-row
+   * multiplicity honest.
+   */
+  def diff(spark: SparkSession, tableDir: String, v1: Long, v2: Long): DataFrame = {
+    val a = readVersionAsOf(spark, tableDir, v1)
+    val b = readVersionAsOf(spark, tableDir, v2)
+    b.exceptAll(a).withColumn("op", org.apache.spark.sql.functions.lit("insert"))
+      .unionByName(a.exceptAll(b).withColumn("op", org.apache.spark.sql.functions.lit("delete")))
+  }
+
+  /**
    * Expire all but the newest `keepLast` snapshots (Iceberg
    * `expire_snapshots`): their manifests are deleted, so those versions
    * stop being readable. Data directories are NOT touched — data a

@@ -140,6 +140,34 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("merge upserts by key into a new version; diff is the exact delete+insert changelog") {
+    val dir = Files.createTempDirectory("graft-snapmerge").toString
+    val nation = spark.read.parquet("/root/testdata/sf0.001/nation.parquet")
+    val v1 = Snapshots.commit(nation.filter($"n_nationkey" < 10), dir)
+    val updates = nation.filter($"n_nationkey" < 2)
+      .withColumn("n_name", lit("X"))
+      .unionByName(nation.limit(1).select(
+        lit(77).cast(nation.schema("n_nationkey").dataType).as("n_nationkey"),
+        lit("NEW").as("n_name"),
+        lit(0).cast(nation.schema("n_regionkey").dataType).as("n_regionkey")))
+    val v2 = Snapshots.merge(spark, dir, updates, "n_nationkey")
+    assert(v2 == v1 + 1)
+    // head: 10 originals - 2 replaced + 2 updated + 1 new = 11 rows
+    val head = Snapshots.read(spark, dir)
+    assert(head.count() === 11)
+    assert(head.filter($"n_name" === "X").count() === 2)
+    assert(head.filter($"n_nationkey" === 77).count() === 1)
+    // v1 untouched (snapshot isolation through a merge)
+    assert(Snapshots.readVersionAsOf(spark, dir, v1)
+      .filter($"n_name" === "X" || $"n_nationkey" === 77).count() === 0)
+    // changelog: 2 deletes (old rows), 3 inserts (2 updated + 1 new)
+    val d = Snapshots.diff(spark, dir, v1, v2)
+      .select($"op", $"n_nationkey".cast("long")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(d == Set(("delete", 0L), ("delete", 1L),
+      ("insert", 0L), ("insert", 1L), ("insert", 77L)))
+  }
+
   test("snapshot maintenance: expire keeps the head readable; vacuum reaps only dead dirs") {
     val dir = Files.createTempDirectory("graft-snapvac").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
