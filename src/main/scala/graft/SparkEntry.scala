@@ -655,6 +655,26 @@ object SparkEntry {
         .withColumn("kept", col("doc_id") === col("component"))
     }),
 
+    "q86_leakage_safe_split" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // train/val/test assignment keyed on the near-dup COMPONENT (q78's
+      // graph), so near-duplicates can never straddle the train/eval
+      // boundary; singletons are their own component
+      val docs = t(s, d, "documents")
+      val banded = graft.pipeline.Dedup.banded(docs, "doc_id")
+      val a = banded.as("a"); val b = banded.as("b")
+      val cand = a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      val feat = docs.select(col("doc_id"), gf.word_shingles(col("text"), lit(3)).as("sh"))
+      val pairs = cand
+        .join(feat.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(feat.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      graft.pipeline.Dedup.leakageSafeSplit(docs, pairs)
+    }),
+
     "q63_minhash_dedup" -> ((s, d) => {
       graft.functions.registerAll(s)
       // First-wins candidate-level near-dup RETENTION (the form a 100-TB
@@ -1595,6 +1615,29 @@ object SparkEntry {
       s"('${r.warcType}','${r.targetUri}','${r.recordId}',$off,$len)"
     }.mkString(",")
 
+  /** The near-dup pair graph + its recursive transitive closure `r(a,b)`
+    * — shared by the q78 components oracle and the q86 split oracle
+    * (single definition, like minhashBandCtes itself). Must be spliced
+    * after a `WITH RECURSIVE`. */
+  private def neardupClosureCtes: String =
+    s"""${minhashBandCtes()},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+       |feat AS (SELECT doc_id, list_distinct(list(s)) AS sh, count(DISTINCT s) AS n
+       |         FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM cand
+       |  JOIN feat fa ON fa.doc_id = doc_a JOIN feat fb ON fb.doc_id = doc_b
+       |  WHERE CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
+       |      (fa.n + fb.n - len(list_intersect(fa.sh, fb.sh))) >= 0.5),
+       |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |r(a, b) AS (
+       |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+       |  UNION
+       |  SELECT e.a, r.b FROM edges e JOIN r ON e.b = r.a)""".stripMargin
+
   /** q73's crawl-segment payload index (responses only — the records
     * `Warc.toPages` keeps), serializer-derived like q60's. */
   private lazy val oracleCrawlIndexValues: String =
@@ -2469,26 +2512,29 @@ object SparkEntry {
     // components of the SAME pair graph, closed independently: recursive
     // transitive closure from each node, component = min reachable id
     "q78_neardup_components" ->
-      s"""WITH RECURSIVE ${minhashBandCtes()},
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.doc_id < b.doc_id),
-         |feat AS (SELECT doc_id, list_distinct(list(s)) AS sh, count(DISTINCT s) AS n
-         |         FROM sh GROUP BY doc_id),
-         |pairs AS (
-         |  SELECT doc_a, doc_b FROM cand
-         |  JOIN feat fa ON fa.doc_id = doc_a JOIN feat fb ON fb.doc_id = doc_b
-         |  WHERE CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
-         |      (fa.n + fb.n - len(list_intersect(fa.sh, fb.sh))) >= 0.5),
-         |edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
-         |          UNION SELECT doc_b, doc_a FROM pairs),
-         |r(a, b) AS (
-         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
-         |  UNION
-         |  SELECT e.a, r.b FROM edges e JOIN r ON e.b = r.a)
+      s"""WITH RECURSIVE $neardupClosureCtes
          |SELECT CAST(a AS BIGINT) AS doc_id, CAST(min(b) AS BIGINT) AS component,
          |  (a = min(b)) AS kept
          |FROM r GROUP BY a""".stripMargin,
+
+    // the same closure, then the split bucket = SIGNED pmod replay of
+    // mix64(component) (pmod of a negative long is NOT unsigned mod 100)
+    "q86_leakage_safe_split" ->
+      s"""WITH RECURSIVE $neardupClosureCtes,
+         |comp AS (SELECT a AS doc_id, min(b) AS component FROM r GROUP BY a),
+         |alldocs AS (
+         |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |bkt AS (
+         |  SELECT doc_id, component,
+         |    ((((CASE WHEN m >= 9223372036854775808::HUGEINT THEN m - $Wrap64 ELSE m END)
+         |        % 100) + 100) % 100) AS bucket
+         |  FROM (SELECT doc_id, component,
+         |          ${mix64Sql("CAST(component AS HUGEINT)")} AS m FROM alldocs))
+         |SELECT doc_id, CAST(component AS BIGINT) AS component,
+         |  CASE WHEN bucket < 90 THEN 'train'
+         |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+         |FROM bkt""".stripMargin,
 
     // the streaming query's oracle is the BATCH twin (q63's band replay)
     // in kept-docs form: retained ids + their band count — the stream's

@@ -98,6 +98,28 @@ object Dedup {
   }
 
   /**
+   * Leakage-safe train/val/test split (q86): assignment is a hash of the
+   * near-dup COMPONENT id, not the doc id — near-duplicates can never
+   * straddle the train/eval boundary (the contamination a doc-keyed
+   * split invites at corpus scale). Docs outside every pair are their
+   * own singleton component (component = doc_id). Thresholds are
+   * percentage points of `mix64(component) pmod 100`.
+   */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       trainPct: Int = 90, valPct: Int = 5): DataFrame = {
+    require(trainPct + valPct < 100, "need a nonempty test slice")
+    val comps = connectedComponents(pairs)
+    val bucket = pmod(graft.functions.mix64(col("component")), lit(100L))
+    docs.select(col("doc_id"))
+      .join(comps, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("split",
+        when(bucket < trainPct, "train")
+          .when(bucket < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
+  /**
    * First-wins retention over a [[banded]] frame: `(doc_id, kept)` where
    * kept = the doc is the smallest-id claimant of EVERY band it occupies
    * ("dedup against seen" — the greedy order-respecting rule a single

@@ -205,6 +205,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("leakage-safe split: connected docs share a split; singletons covered; slices sane") {
+    val docs = (0L until 500L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 20L), (20L, 30L), (400L, 401L))
+      .toDF("doc_a", "doc_b")
+    val rows = Dedup.leakageSafeSplit(docs, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 500)
+    val byDoc = rows.map(r => r._1 -> r).toMap
+    // every connected pair lands in ONE split (the operator's whole point)
+    Seq((1L, 2L), (2L, 3L), (10L, 30L), (400L, 401L)).foreach { case (a, b) =>
+      assert(byDoc(a)._3 == byDoc(b)._3, s"$a and $b straddle splits")
+      assert(byDoc(a)._2 == byDoc(b)._2, s"$a and $b in different components")
+    }
+    // singleton components are the doc itself
+    assert(byDoc(250L)._2 == 250L)
+    // all three slices exist and train dominates (hash-proportional)
+    val bySplit = rows.groupBy(_._3).view.mapValues(_.size).toMap
+    assert(bySplit.keySet == Set("train", "val", "test"))
+    assert(bySplit("train") > bySplit("val") && bySplit("train") > bySplit("test"))
+  }
+
   test("semi + anti variants partition the pages exactly") {
     val p = Pages.pages(spark, sfDir, SparkEntry.Amp)
     val total = p.count()
