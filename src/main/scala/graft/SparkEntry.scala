@@ -34,6 +34,11 @@ object SparkEntry {
   /** q69's per-batch token budget — ONE constant interpolated into both
     * the Spark query and the DuckDB oracle (shared-constants rule). */
   private val Q69TokenBudget = 2000L
+  /** q87's corpus/increment boundary — docs below are the "already
+    * ingested" corpus whose band state is the only thing the increment
+    * sees; interpolated into both sides. */
+  private val Q87Boundary = 250L
+
   /** q69's shard count, interpolated into both sides identically. 32 (not
     * the session's shuffle-partitions default the library uses) because
     * the oracle SQL is static while SPARK_GRAFT_CPUS varies per host —
@@ -673,6 +678,20 @@ object SparkEntry {
           size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
         .select(col("doc_a"), col("doc_b"))
       graft.pipeline.Dedup.leakageSafeSplit(docs, pairs)
+    }),
+
+    "q87_incremental_dedup" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // dedup the new increment (doc_id >= boundary) against ONLY the
+      // old corpus's band state — old text is never re-read; the oracle
+      // proves the shortcut equals the global first-wins rule restricted
+      // to the increment (valid because old ids precede new ids)
+      val docs = t(s, d, "documents")
+      val seen = graft.pipeline.Dedup
+        .banded(docs.filter(col("doc_id") < Q87Boundary), "doc_id")
+        .select(col("band")).distinct()
+      graft.pipeline.Dedup.incrementalKept(
+        docs.filter(col("doc_id") >= Q87Boundary), seen)
     }),
 
     "q63_minhash_dedup" -> ((s, d) => {
@@ -2535,6 +2554,17 @@ object SparkEntry {
          |  CASE WHEN bucket < 90 THEN 'train'
          |       WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
          |FROM bkt""".stripMargin,
+
+    // the GLOBAL first-wins rule restricted to the increment — the
+    // independent derivation that certifies the band-state shortcut
+    "q87_incremental_dedup" ->
+      s"""WITH ${minhashBandCtes()},
+         |own AS (SELECT bk, min(doc_id) AS owner FROM keys GROUP BY bk)
+         |SELECT k.doc_id,
+         |  (min(CASE WHEN o.owner = k.doc_id THEN 1 ELSE 0 END) = 1) AS kept
+         |FROM keys k JOIN own o USING (bk)
+         |WHERE k.doc_id >= $Q87Boundary
+         |GROUP BY k.doc_id""".stripMargin,
 
     // the streaming query's oracle is the BATCH twin (q63's band replay)
     // in kept-docs form: retained ids + their band count — the stream's

@@ -40,6 +40,30 @@ object Dedup {
           lit(RowsPerBand))).as("band"): _*)
 
   /**
+   * Incremental first-wins retention (q87): dedup a NEW crawl increment
+   * against the already-ingested corpus using only its BAND STATE — the
+   * shape an incremental 100-TB pipeline actually runs, because the old
+   * corpus's text never needs to be touched again (state is one row per
+   * distinct seen band, exactly the streaming NearDup state, here in
+   * batch form). A new doc is kept iff every one of its bands is (a)
+   * absent from `seenBands` and (b) first-claimed BY IT among the new
+   * batch (min id). When old ids precede new ids this equals the global
+   * first-wins rule restricted to the new docs — which is how the q87
+   * oracle independently re-derives it from the full corpus.
+   */
+  def incrementalKept(newDocs: DataFrame, seenBands: DataFrame): DataFrame = {
+    val nb = banded(newDocs, "doc_id")
+    val owner = nb.groupBy(col("band")).agg(min(col("doc_id")).as("owner"))
+    nb.join(owner, Seq("band"))
+      .join(seenBands.select(col("band")).distinct().withColumn("__seen", lit(1)),
+        Seq("band"), "left")
+      .groupBy(col("doc_id"))
+      .agg(min(when(col("owner") === col("doc_id") && col("__seen").isNull, 1)
+        .otherwise(0)).as("k"))
+      .select(col("doc_id"), (col("k") === 1).as("kept"))
+  }
+
+  /**
    * Connected components of the near-dup pair graph — the CLUSTER-level
    * retention a production dedup pass runs (keep one representative per
    * component of the verified-pair graph), complementing the greedy
