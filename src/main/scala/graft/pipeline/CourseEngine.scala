@@ -219,8 +219,11 @@ object CourseEngine {
    * slippy pyramid to `minZoom` — the serving-side index a map stack
    * queries at every zoom. Pure bit math: the zoom-(z-d) parent of tile
    * (x, y) is (x >> d, y >> d), so the whole pyramid is ONE explode of
-   * (zoom-minZoom+1) literal-shift branches followed by ONE groupBy —
-   * a single shuffle regardless of pyramid depth. `sum_coverage` sums
+   * (zoom-minZoom+1) literal-shift branches followed by ONE groupBy.
+   * Shuffle count is depth-independent: the n_features countDistinct
+   * plans Spark's standard two-phase distinct rewrite (partials on
+   * (tile, feature), then (tile)) — two pyramid-keyed exchanges total,
+   * regardless of how many zoom levels roll up. `sum_coverage` sums
    * exact 1/64-dyadic fractions, so it is bit-identical at any
    * partitioning / aggregation order (no float-order caveat).
    */
