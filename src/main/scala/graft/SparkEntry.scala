@@ -64,6 +64,25 @@ object SparkEntry {
   private lazy val oracleUtf8CorpusValues: String =
     Utf8Corpus.map { case (id, t) => s"($id, '$t')" }.mkString(",")
 
+  /** q88's normalization corpus — ONE constant, both sides. Decomposed
+    * accents (e+U+0301), the Angstrom (U+212B) and Ohm (U+2126)
+    * compatibility singletons, combining-mark carriers, uppercase Greek
+    * and Latin, and whitespace noise. Case folding stays within the
+    * simple-mapping subset where JVM and utf8proc lower() agree (no
+    * U+0130, no locale-sensitive forms) — same fixture-scoping rule as
+    * the ASCII hash oracles before q76. */
+  private val NormCorpus: Seq[(Long, String)] = Seq(
+    1L -> "Cafe\u0301   au  lait", // DECOMPOSED acute (explicit escapes --
+    // a composed source literal would make the NFC stage vacuous)
+    2L -> "\u212bngstro\u0308m   Unit", // Angstrom SIGN + decomposed o-diaeresis
+    3L -> "\u2126 Resistance OHM", // Ohm SIGN -> U+03A9 under NFC
+    4L -> "already clean ascii",
+    5L -> "MIXED  Ca\u0301se\u0301 TEXT",
+    6L -> "\u0391\u0398\u0397\u039d\u0391 greek city") // uppercase Greek
+
+  private lazy val oracleNormCorpusValues: String =
+    NormCorpus.map { case (id, t) => s"($id, '$t')" }.mkString(",")
+
   /** q80's messy-URL corpus — ONE constant, both sides; rows (1,2) and
     * (3,4) canonicalize to the same resource, 5/6 keep non-default
     * ports, 10 pins case-sensitive param sorting. */
@@ -544,6 +563,22 @@ object SparkEntry {
       val urls = graft.sources.Storage.localize(UrlCorpus.toDF("url_id", "url"))
       urls.select(col("url_id"), col("url"),
         graft.pipeline.Urls.canonicalize(col("url")).as("canon"))
+    }),
+
+    "q88_text_normalize" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      import s.implicits._
+      // the normalization stage a multilingual pipeline runs before any
+      // hashing/dedup: NFC (kernel expression; byte-different spellings
+      // of one string must hash identically downstream) -> lowercase ->
+      // whitespace collapse. Byte lengths are compared (octet_length is
+      // unambiguous cross-engine; char counts are not)
+      val corpus = graft.sources.Storage.localize(NormCorpus.toDF("doc_id", "text"))
+      val norm = trim(regexp_replace(lower(gf.nfc_normalize(col("text"))), "\\s+", " "))
+      corpus.select(col("doc_id"), norm.as("norm"),
+        octet_length(col("text")).as("bytes_before"),
+        octet_length(norm).as("bytes_after"),
+        (norm =!= col("text")).as("changed"))
     }),
 
     "q82_cms_heavy_hitters" -> ((s, d) => {
@@ -2171,6 +2206,19 @@ object SparkEntry {
 
     // profile score = #profile words present in toks (array_intersect is
     // distinct and profiles are distinct); CASE chain = first-max-wins
+    // same chain through DuckDB's utf8proc NFC — decomposed VALUES
+    // literals survive the JSON round-trip byte-exactly
+    "q88_text_normalize" ->
+      s"""WITH docs AS (SELECT * FROM (VALUES $oracleNormCorpusValues) d(doc_id, text)),
+         |n AS (SELECT doc_id, text,
+         |  trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g')) AS norm
+         |  FROM docs)
+         |SELECT CAST(doc_id AS BIGINT) AS doc_id, norm,
+         |  CAST(octet_length(encode(text)) AS INT) AS bytes_before,
+         |  CAST(octet_length(encode(norm)) AS INT) AS bytes_after,
+         |  (norm <> text) AS changed
+         |FROM n""".stripMargin,
+
     // the full sketch replayed: every slot hash (FNV + splitmix64 over
     // HUGEINT), every counter cell, every min-estimate re-derived
     "q82_cms_heavy_hitters" -> (pagesCte + s""",

@@ -37,6 +37,14 @@ object TextOps {
 
   // ---- tokenization ----
   /** Whitespace tokens. */
+  /** Unicode NFC (canonical composition) — the text-normalization stage
+    * a multilingual corpus runs before hashing/dedup, so byte-different
+    * spellings of one string (e + combining acute vs é) can never defeat
+    * exact or near dedup. */
+  def nfcNormalize(s: UTF8String): UTF8String =
+    UTF8String.fromString(
+      java.text.Normalizer.normalize(s.toString, java.text.Normalizer.Form.NFC))
+
   def tokens(s: UTF8String): Array[String] = {
     val str = s.toString
     val out = str.split("\\s+")

@@ -80,6 +80,23 @@ case class LeadingZeros(child: Expression)
   override protected def withNewChildInternal(c: Expression): LeadingZeros = copy(c)
 }
 
+/** Unicode NFC normalization (q88) — JDK `java.text.Normalizer`, which
+  * implements the same UAX#15 tables as DuckDB's utf8proc
+  * `nfc_normalize` (agreement verified on decomposed accents, the
+  * Angstrom/Ohm compatibility singletons, and combining-mark reorder). */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(s: Any): Any =
+    TextOps.nfcNormalize(s.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.expr.TextOps.nfcNormalize($s)")
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(c)
+}
+
 /** Word n-gram shingles. */
 case class WordShingles(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

@@ -62,6 +62,7 @@ object functions {
   def hash_text(s: Column): Column = toCol(HashText(toExpr(s)))
   def mix64(z: Column): Column = toCol(Mix64(toExpr(z)))
   def leading_zeros(z: Column): Column = toCol(LeadingZeros(toExpr(z)))
+  def nfc_normalize(s: Column): Column = toCol(NfcNormalize(toExpr(s)))
   def word_shingles(s: Column, n: Column): Column =
     toCol(WordShingles(toExpr(s), toExpr(n)))
   def char_shingles(s: Column, n: Column): Column =
