@@ -273,6 +273,37 @@ class ExprSpec extends AnyFunSuite {
     assert(hd == 3)
   }
 
+  test("round-4 kernels: mix64/leading_zeros/nfc/shell-distance/trigram match their JVM definitions") {
+    import graft.functions._
+    val df = Seq((1L, "café test", 42L, 1024L)).toDF("id", "s", "z", "w")
+    val r = df.select(
+      mix64($"z").as("m"),
+      leading_zeros($"w").as("lz"),
+      nfc_normalize($"s").as("n"),
+      st_distance_to_shell_m(
+        org.apache.spark.sql.functions.array(
+          Seq(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0, 0.0, 0.0).map(lit): _*),
+        lit(2.0), lit(0.5)).as("d")).collect()(0)
+    assert(r.getLong(0) == TextOps.mix64(42L))
+    assert(r.getInt(1) == java.lang.Long.numberOfLeadingZeros(1024L))
+    assert(r.getString(2) == java.text.Normalizer.normalize(
+      "café test", java.text.Normalizer.Form.NFC))
+    // point (2, 0.5) vs unit square: nearest point on the closed shell is
+    // (1, 0.5) -> 1 degree of longitude at lat 0.5
+    assert(math.abs(r.getDouble(3) -
+      graft.geom.Geom.haversineM(2.0, 0.5, 1.0, 0.5)) == 0.0)
+    // trigram predict/fluency == direct kernel calls
+    val t = df.select(
+      org.apache.spark.sql.graftShim.column(TrigramLangPredict(
+        org.apache.spark.sql.graftShim.expression($"s"))).as("p"),
+      org.apache.spark.sql.graftShim.column(TrigramFluency(
+        org.apache.spark.sql.graftShim.expression($"s"))).as("f")).collect()(0)
+    assert(t.getString(0) == TrigramModel.predict(
+      org.apache.spark.unsafe.types.UTF8String.fromString("café test")).toString)
+    assert(t.getDouble(1) == TrigramModel.bestAvgLogProb(
+      org.apache.spark.unsafe.types.UTF8String.fromString("café test")))
+  }
+
   test("expressions survive codegen AND interpreted paths identically") {
     // force interpreted path by wrapping in a non-codegen context: compare
     // wholestage-on collect vs wholestage-off collect
