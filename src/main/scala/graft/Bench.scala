@@ -112,41 +112,66 @@ object Bench {
     }
     // failures must be visible IN THE ARTIFACT, not only on stderr — a
     // query that throws quickly would otherwise print as a stable fast
-    // success and improve the total
+    // success and improve the total. ANY failed run anywhere poisons the
+    // query: its entries print null in EVERY emitted object and it is
+    // excluded from every total (r4 ADVICE: partially-failed queries must
+    // not print real-looking medians beside a `failed` listing).
     val failed = scala.collection.mutable.SortedSet.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to runsPer).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          // an aborted run's (typically fast) elapsed time must NOT enter
-          // the medians or the headline total — a failure would otherwise
-          // read FASTER than a working build; NaN marks the hole
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          failed += name
-          None
+    // TWO-WINDOW PROTOCOL (r4 verdict item 6): the r4 artifact of record
+    // was a host-contention window that inflated several queries 2-5x and
+    // the per-window median/min machinery couldn't see it (the contention
+    // inflated whole runs uniformly). Running the full suite in `windows`
+    // spaced passes — the spacing IS the other window's multi-minute
+    // duration — and publishing the per-query MIN OF WINDOW-MEDIANS as
+    // the headline makes a single noisy window unable to misrepresent the
+    // build, while per-window objects keep the variance visible.
+    val windows = sys.env.getOrElse("SPARK_GRAFT_WINDOWS", "2").toInt
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val windowMedians: Seq[Map[String, Double]] = (1 to windows).map { _ =>
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
+        // q74 drives a checkpointed two-stateful-operator streaming pipeline
+        // whose per-run cost is micro-batch machinery, not engine dataflow
+        // (r4 verdict item 7): one timed run per window — the documented
+        // exemption from median-of-N; cross-window min still guards it.
+        val runs = if (name == "q74_streaming_neardup") 1 else runsPer
+        val times = (1 to runs).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).count()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            // an aborted run's (typically fast) elapsed time must NOT enter
+            // the medians or the headline total — a failure would otherwise
+            // read FASTER than a working build
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            failed += name
+            None
+          }
         }
-      }
-      name -> (if (times.isEmpty) Seq(Double.NaN) else times)
+        name -> (if (times.isEmpty) Double.NaN else median(times))
+      }.toMap
     }
     val (nPages, joinSec, tileSec, nAssign) =
       flagship(spark, sfDir, amplify, cpus.toInt * 4, runs = runsPer)
-    def obj(f: Seq[Double] => Double) = results
-      .map { case (k, ts) =>
-        val v = f(ts)
+    def headlineOf(name: String): Double =
+      windowMedians.map(_(name)).filterNot(_.isNaN).minOption.getOrElse(Double.NaN)
+    def obj(f: String => Double) = names
+      .map { k =>
+        val v = if (failed.contains(k)) Double.NaN else f(k)
         "\"" + k + "\":" + (if (v.isNaN) "null" else v.toString)
       }.mkString("{", ",", "}")
+    val windowObjs = windowMedians.zipWithIndex
+      .map { case (m, i) => s""""queries_w${i + 1}":${obj(m(_))}""" }.mkString(",")
     // headline total aggregates SUCCESSFUL queries only; `failed` lists
-    // the excluded ones (their per-query entries print NaN)
-    val total = results.collect {
-      case (name, ts) if !failed.contains(name) => median(ts)
+    // the excluded ones (their per-query entries print null)
+    val total = names.collect {
+      case name if !failed.contains(name) => headlineOf(name)
     }.sum
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","timing":"median_of_$runsPer","runs":$runsPer,""" +
+      s"""{"metric":"total","value":$total,"unit":"sec","timing":"min_of_${windows}_window_medians_of_$runsPer","runs":$runsPer,"windows":$windows,""" +
         s""""failed":[${failed.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""queries":${obj(median)},"query_min":${obj(_.min)},"sf":"$sfDir",""" +
+        s""""queries":${obj(headlineOf)},$windowObjs,"sf":"$sfDir",""" +
         s""""flagship_pages":$nPages,"flagship_assignments":$nAssign,""" +
         s""""spatial_join_pages_per_sec":${(nPages / joinSec).toLong},""" +
         s""""tile_assign_pages_per_sec":${(nPages / tileSec).toLong}}""")

@@ -1403,18 +1403,36 @@ object SparkEntry {
         .schema(s.read.parquet(dir).schema)
         .parquet(dir)
       val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val nDataBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+      // NOTE: with disableChainedStateCheck, Spark still prints the chained
+      // stateful-operator AnalysisException text as a stderr WARN-with-stack
+      // at stream start — it LOOKS like `[error] ...AnalysisException` in
+      // sbt output but the query runs and passes (the check is the thing
+      // being deliberately disabled; see NearDup.kept's contract doc).
       val q = graft.streaming.NearDup
         .kept(stream, watermark = "10 seconds", ttlMillis = 1L << 62,
           disableChainedStateCheck = true)
         .writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.select(col("doc_id").cast("long"), col("n_bands").cast("long"))
-            .collect().foreach(r => acc.add((r.getLong(0), r.getLong(1))))
+          val rows = batch.select(col("doc_id").cast("long"), col("n_bands").cast("long"))
+            .collect()
+          if (rows.nonEmpty) nDataBatches.incrementAndGet()
+          rows.foreach(r => acc.add((r.getLong(0), r.getLong(1))))
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // single-file fixture => every input row (sentinel included) arrived
+      // in ONE source micro-batch, so the sentinel's watermark advance can
+      // never drop a real doc as late (r4 ADVICE item). The chained FMGWS
+      // emits results a batch AFTER input (timeout/watermark finalization),
+      // so what is observable here is that at most one downstream batch
+      // carried data; zero data batches would also be a broken stream.
+      require(nDataBatches.get() == 1L,
+        s"q74 expected exactly 1 data-carrying micro-batch, saw ${nDataBatches.get()} — " +
+          "the stream fixture is no longer a single file or the file source split it; " +
+          "a sentinel in an earlier batch than a real doc silently drops rows (see Fixtures.streamDocsDir)")
       import scala.jdk.CollectionConverters._
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types.{LongType, StructField, StructType}

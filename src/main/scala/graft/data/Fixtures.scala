@@ -212,12 +212,21 @@ object Fixtures {
       deleteRecursively(new java.io.File(dir))
       import spark.implicits._
       val base = java.sql.Timestamp.valueOf("2025-03-01 00:00:00").getTime
+      // ONE part file, deliberately: q74's correctness needs the far-future
+      // sentinel to share (or follow) every real doc's micro-batch — if the
+      // file source ever split a multi-file fixture with the sentinel's
+      // file in an EARLIER batch, the watermark would advance past every
+      // later real doc and the chained windowed aggregation would drop
+      // them as late rows (r4 ADVICE item). A single file makes the
+      // AvailableNow run exactly one micro-batch whatever
+      // maxFilesPerTrigger defaults to; q74 asserts that invariant.
       spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .unionByName(Seq((StreamSentinelId, "sentinel far future doc"))
           .toDF("doc_id", "text"))
         .select(col("doc_id"),
           expr(s"timestamp_millis(${base}L + doc_id * 1000)").as("ts"), col("text"))
+        .coalesce(1)
         .write.parquet(dir)
     }
     dir

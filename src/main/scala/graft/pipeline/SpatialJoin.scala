@@ -337,6 +337,14 @@ object SpatialJoin {
    * polygon whose CENTROID is outside the certified disk has every
    * boundary point at least `certBound(r) - envRadM` away, so the bound
    * stays a strict lower bound under the boundary metric.
+   *
+   * envRadM takes the max haversine distance from the envelope CENTER to
+   * ALL FOUR corners, not just (maxx,maxy): haversine corner distances
+   * are hemisphere-asymmetric (the equator-side corner is farther, where
+   * cos(lat) is larger), so a single-corner radius would slightly
+   * UNDER-estimate the true center-to-boundary bound for any polygon off
+   * the equator and the certificate would stop being a strict lower
+   * bound (r4 ADVICE item).
    */
   def knnCoursesBoundary(pagesIn: DataFrame, bounds: DataFrame, k: Int,
                          level: Int = 11, radius: Int = 3,
@@ -345,13 +353,18 @@ object SpatialJoin {
       .join(bounds.select(col("clubId"), col("courseId"), col("holeNumber"),
         flatten_shell(col("boundary")).as("bflat")),
         Seq("clubId", "courseId", "holeNumber"))
-    // max centroid->envelope-corner distance (driver-side scalar; one tiny
-    // aggregate over the polygon dim, like the cover stats pre-pass)
+    // max centroid->envelope-corner distance over all four corners
+    // (driver-side scalar; one tiny aggregate over the polygon dim, like
+    // the cover stats pre-pass)
+    val cx = (col("env.minx") + col("env.maxx")) / 2
+    val cy = (col("env.miny") + col("env.maxy")) / 2
     val envRadM = bounds
       .withColumn("env", st_envelope(col("boundary")))
-      .agg(max(st_distance_m(
-        (col("env.minx") + col("env.maxx")) / 2, (col("env.miny") + col("env.maxy")) / 2,
-        col("env.maxx"), col("env.maxy"))))
+      .agg(max(greatest(
+        st_distance_m(cx, cy, col("env.maxx"), col("env.maxy")),
+        st_distance_m(cx, cy, col("env.maxx"), col("env.miny")),
+        st_distance_m(cx, cy, col("env.minx"), col("env.maxy")),
+        st_distance_m(cx, cy, col("env.minx"), col("env.miny")))))
       .collect()(0).getDouble(0)
     knnStaged(pagesIn, dim, k, level, radius, maxLocalRows,
       slackM = envRadM,
