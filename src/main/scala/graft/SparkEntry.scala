@@ -729,6 +729,28 @@ object SparkEntry {
         docs.filter(col("doc_id") >= Q87Boundary), seen)
     }),
 
+    // ---- scalable embedding near-dup retention (r4 verdict top item):
+    // the minhash funnel's shape over an embedding column — LSH-bucket
+    // candidates -> exact-cosine verify ON CANDIDATES ONLY -> connected-
+    // component retention. The corpus is the embeddings table plus
+    // deterministic near-duplicate copies (one perturbed component each)
+    // derived IN BOTH ENGINES from the same arithmetic, so near-dup pairs
+    // exist to retain against (the raw fixture's max pairwise cosine is
+    // 0.513, far below any near-dup threshold). No all-pairs stage
+    // anywhere; q32 stays the labeled brute anchor. ----
+    "q89_embedding_dedup" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // near-dup copies: ONE component gets +delta (position varies by
+      // id); float32 of (float64 + delta) is bit-identical cross-engine,
+      // and on the unit-norm fixture every true-dup pair's cosine is
+      // >= 0.996 (dup1-dup2 companions included) while unrelated pairs
+      // stay <= ~0.55 — the 0.8 threshold sits mid-gap, >= 0.19 from any
+      // decision on either side (EmbeddingDedupSpec pins the margin and
+      // candidate recall vs the brute anchor)
+      graft.pipeline.Dedup.embeddingKept(
+        graft.data.Fixtures.embDupCorpus(s, d), threshold = 0.8)
+    }),
+
     "q63_minhash_dedup" -> ((s, d) => {
       graft.functions.registerAll(s)
       // First-wins candidate-level near-dup RETENTION (the form a 100-TB
@@ -2576,6 +2598,59 @@ object SparkEntry {
          |  (min(CASE WHEN o.owner = k.doc_id THEN 1 ELSE 0 END) = 1) AS kept
          |FROM keys k JOIN own o USING (bk)
          |GROUP BY k.doc_id""".stripMargin,
+
+    // the full embedding funnel replayed from raw embeddings: the
+    // perturbed-copy corpus (same float32-of-float64 arithmetic), every
+    // hyperplane dot sign (shared published constants, ordered float64
+    // folds), bucket-collision candidates, the exact-cosine verify
+    // decision (bit-identical fold on both sides of 0.95), and the
+    // recursive component closure with singleton fill-in
+    "q89_embedding_dedup" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT CAST(vec_id AS BIGINT) + 1000,
+         |    list_transform(generate_series(1, len(embedding)), i ->
+         |      CASE WHEN i - 1 = vec_id % 64
+         |           THEN CAST(CAST(embedding[i] AS DOUBLE) + 0.05E0 AS REAL)
+         |           ELSE embedding[i] END)
+         |  FROM embeddings
+         |  UNION ALL
+         |  SELECT CAST(vec_id AS BIGINT) + 2000,
+         |    list_transform(generate_series(1, len(embedding)), i ->
+         |      CASE WHEN i - 1 = (vec_id * 7 + 13) % 64
+         |           THEN CAST(CAST(embedding[i] AS DOUBLE) + 0.07E0 AS REAL)
+         |           ELSE embedding[i] END)
+         |  FROM embeddings WHERE vec_id < 100),
+         |hp AS (
+         |  SELECT * FROM (VALUES $oracleHyperplaneValues) AS h(tbl, bit, ws)),
+         |dots AS (
+         |  SELECT c.vec_id, h.tbl, h.bit,
+         |    ${orderedSum("h.ws", i => s"CAST(c.embedding[$i] AS DOUBLE) * h.ws[$i]")} AS dot
+         |  FROM corpus c CROSS JOIN hp h),
+         |buckets AS (
+         |  SELECT vec_id, tbl,
+         |    sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS bucket
+         |  FROM dots GROUP BY vec_id, tbl),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |vp AS (
+         |  SELECT vec_a, vec_b FROM cand
+         |  JOIN corpus ca ON ca.vec_id = vec_a
+         |  JOIN corpus cb ON cb.vec_id = vec_b
+         |  WHERE ${cosSqlExpr("ca.embedding", "cb.embedding")} >= 0.8E0),
+         |edges AS (SELECT vec_a AS a, vec_b AS b FROM vp
+         |          UNION SELECT vec_b, vec_a FROM vp),
+         |r(a, b) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+         |  UNION
+         |  SELECT e.a, r.b FROM edges e JOIN r ON e.b = r.a),
+         |comp AS (SELECT a AS vec_id, min(b) AS component FROM r GROUP BY a)
+         |SELECT c.vec_id, coalesce(m.component, c.vec_id) AS component,
+         |  (coalesce(m.component, c.vec_id) = c.vec_id) AS kept
+         |FROM corpus c LEFT JOIN comp m USING (vec_id)""".stripMargin,
 
     // the q25 replay over the multi-byte corpus, with the BYTE-TRUE FNV
     // (encode()'d hex pairs — exact UTF-8 bytes, any width)

@@ -233,6 +233,38 @@ object Fixtures {
   }
 
   // -------------------------------------------------------------------
+  // q89 — the embedding near-dup corpus: the embeddings table plus
+  // deterministic near-duplicate copies (ONE perturbed component each).
+  // The raw fixture's max pairwise cosine is 0.513 — far below any
+  // near-dup threshold — so retention would be vacuous without planted
+  // dups. The perturbation (float32 of float64 + delta) is replayed
+  // verbatim by the q89 DuckDB oracle; a pure frame transform, no disk.
+  // -------------------------------------------------------------------
+  def embDupCorpus(spark: SparkSession, sfDir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.{Column, DataFrame}
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+    // NOTE: `pos` is materialized in its own select BEFORE the id gets
+    // re-aliased — Spark 4's lateral-column-alias resolution would
+    // otherwise bind a `vec_id` reference inside the transform lambda to
+    // the NEW `vec_id + offset` alias in the same select list, silently
+    // perturbing position (id+offset) % 64 (found by the q89 oracle
+    // disagreeing on exactly two borderline pairs).
+    def dup(base: DataFrame, offset: Long, pos: Column, delta: Double) =
+      base.select(col("vec_id"), col("embedding"), pos.cast("long").as("__pos"))
+        .select((col("vec_id") + offset).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i.cast("long") === col("__pos"),
+              (x.cast("double") + lit(delta)).cast("float"))
+              .otherwise(x)).as("embedding"))
+    emb
+      .unionByName(dup(emb, 1000L, col("vec_id") % 64, 0.05))
+      .unionByName(dup(emb.filter(col("vec_id") < 100),
+        2000L, (col("vec_id") * 7 + 13) % 64, 0.07))
+  }
+
+  // -------------------------------------------------------------------
   // q61 — snapshot table rebuilt from scratch each call: two commits
   // (full nation, then an appended filtered slice), so VERSION AS OF 1
   // and 2 read provably different live sets.

@@ -143,6 +143,86 @@ object Dedup {
           .otherwise("test"))
   }
 
+  // -------------------------------------------------------------------
+  // Embedding-space near-dup retention (r4 verdict top item): the same
+  // candidates -> exact-verify -> component-retention funnel the minhash
+  // family has (banded -> firstWins/components), over an embedding column
+  // instead of text shingles. No stage is all-pairs.
+  // -------------------------------------------------------------------
+
+  /** q89's hyperplane-LSH table/bit/seed constants — q31's exact scheme
+    * (seed base 100, bit stride in `TextOps.hyperplaneLsh`), so the
+    * DuckDB replay reuses the same published hyperplane literals. */
+  val EmbTables = 4
+  val EmbBits = 8
+  val EmbSeed = 100L
+
+  /** One row per (vec_id, bucket): the vector's LSH bucket in each of
+    * `nTables` hyperplane tables ("tbl:signBits"). The q31 candidate
+    * scheme as a reusable frame.
+    *
+    * Sizing at scale: expected bucket size is n / 2^nBits per table, and
+    * the candidate join below is quadratic IN THE BUCKET — `nBits` must
+    * grow with log2(corpus) (e.g. 2^40 vectors -> ~30+ bits keeps buckets
+    * ~1k) exactly as minhash band width tracks target similarity. The
+    * parameters are explicit so the 10^12-row deployment sets them; the
+    * fixture uses q31's 4x8 so the oracle's hyperplane constants are
+    * shared. */
+  def embeddingBuckets(emb: DataFrame, nTables: Int = EmbTables,
+                       nBits: Int = EmbBits, seed: Long = EmbSeed): DataFrame =
+    emb.select(col("vec_id"),
+      explode(array((0 until nTables).map(i =>
+        concat(lit(i), lit(":"),
+          gf.hyperplane_lsh(col("embedding"), lit(nBits), lit(seed + i)))): _*))
+        .as("bucket"))
+
+  /** Distinct candidate pairs (vec_a < vec_b) sharing any table's bucket —
+    * a bucket-keyed equi-join (shuffles ids only, never embeddings), the
+    * embedding analog of minhash band collision. Recall < 1 by
+    * construction; DedupSpec pins measured candidate recall vs the brute
+    * anchor on the fixture. */
+  def embeddingCandidates(emb: DataFrame, nTables: Int = EmbTables,
+                          nBits: Int = EmbBits, seed: Long = EmbSeed): DataFrame = {
+    val b = embeddingBuckets(emb, nTables, nBits, seed)
+    b.select(col("bucket"), col("vec_id").as("vec_a"))
+      .join(b.select(col("bucket"), col("vec_id").as("vec_b")), Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"))
+      .distinct()
+  }
+
+  /**
+   * Scalable embedding near-dup retention (q89): LSH candidates ->
+   * exact-cosine verify ON CANDIDATES ONLY -> connected-component
+   * retention (keep = smallest vec_id of its component; singletons keep
+   * themselves). Returns one row per input vector:
+   * `(vec_id, component, kept)`.
+   *
+   * Scale shape, stage by stage: candidate generation shuffles (bucket,
+   * id) pairs — embeddings never leave their map side until the verify
+   * join; the verify stage joins the (sparse) candidate set back to the
+   * embedding table by id (two id-keyed shuffles of only candidate rows);
+   * retention reuses [[connectedComponents]]'s iterative min-label
+   * propagation with size-gated lineage breaks. Driver state is O(1).
+   * The all-pairs brute form exists only as q32's labeled anchor.
+   */
+  def embeddingKept(emb: DataFrame, threshold: Double = 0.8,
+                    nTables: Int = EmbTables, nBits: Int = EmbBits,
+                    seed: Long = EmbSeed, maxLocalRows: Int = 1 << 20): DataFrame = {
+    val cand = embeddingCandidates(emb, nTables, nBits, seed)
+    val verified = cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("__ea")), Seq("vec_a"))
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("__eb")), Seq("vec_b"))
+      .filter(gf.cosine_sim(col("__ea"), col("__eb")) >= threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val comps = connectedComponents(verified, maxLocalRows = maxLocalRows)
+      .withColumnRenamed("doc_id", "vec_id")
+    emb.select(col("vec_id"))
+      .join(comps, Seq("vec_id"), "left")
+      .select(col("vec_id"), coalesce(col("component"), col("vec_id")).as("component"))
+      .withColumn("kept", col("component") === col("vec_id"))
+  }
+
   /**
    * First-wins retention over a [[banded]] frame: `(doc_id, kept)` where
    * kept = the doc is the smallest-id claimant of EVERY band it occupies
