@@ -751,6 +751,33 @@ object SparkEntry {
         graft.data.Fixtures.embDupCorpus(s, d), threshold = 0.8)
     }),
 
+    // ---- corpus-TRAINED n-gram LM quality filter (r4 verdict item 2):
+    // train a char-trigram add-1 LM on the 80% split (exact integer counts
+    // via one groupBy per table), publish it (localize -> broadcast), then
+    // score the held-out 20% — per-doc position-ordered fold of
+    // ln((n3+1)/(n2+V)), ONE final division, quantized at 1e-6 with the
+    // boundary margin pinned in LangModelSpec. The KenLM-style perplexity
+    // gate a real curation pipeline runs, as one train->score dataflow ----
+    "q90_lm_quality" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      val model = graft.sources.Storage.localize(
+        graft.pipeline.LangModel.trigramModel(docs.filter(col("doc_id") % 5 =!= 0)))
+      val v = model.count()
+      val ctx = graft.sources.Storage.localize(
+        graft.pipeline.LangModel.contextCounts(model))
+      graft.pipeline.LangModel
+        .scoreDocs(docs.filter(col("doc_id") % 5 === 0), model, ctx, v)
+        .select(col("doc_id"), col("n_tri"),
+          round(col("lp") / col("n_tri"), 6).as("avg_lp"),
+          // gate margin: min |avg_lp + 1.08| measured 6.1e-5 at sf0.01 /
+          // 2.7e-4 at sf0.001 — >= 10^8 x the sub-ULP ln() drift
+          // (LangModelSpec pins it); 63/100 fluent at sf0.01
+          (col("lp") / col("n_tri") >= -1.08).as("fluent"),
+          lit(v).as("vocab"))
+    }),
+
     "q63_minhash_dedup" -> ((s, d) => {
       graft.functions.registerAll(s)
       // First-wins candidate-level near-dup RETENTION (the form a 100-TB
@@ -2598,6 +2625,34 @@ object SparkEntry {
          |  (min(CASE WHEN o.owner = k.doc_id THEN 1 ELSE 0 END) = 1) AS kept
          |FROM keys k JOIN own o USING (bk)
          |GROUP BY k.doc_id""".stripMargin,
+
+    // the trained LM replayed END TO END from the documents table: the
+    // train-split trigram counts (exact integers), context sums, vocab
+    // size, every held-out trigram's smoothed conditional, the
+    // position-ordered log-prob fold, and both graded decisions (1e-6
+    // quantum + the -1.08 gate, margins pinned in LangModelSpec)
+    "q90_lm_quality" ->
+      """WITH tr AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |tri0 AS (SELECT substring(t.text, g.i, 3) AS tri
+        |         FROM tr t, unnest(generate_series(1, greatest(len(t.text) - 2, 0))) AS g(i)),
+        |c3 AS (SELECT tri, count(*) AS n3 FROM tri0 GROUP BY tri),
+        |c2 AS (SELECT substring(tri, 1, 2) AS ctx, sum(n3) AS n2 FROM c3 GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM c3),
+        |ho AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0 AND len(text) >= 3),
+        |toks AS (SELECT h.doc_id, g.i AS pos, substring(h.text, g.i, 3) AS tri
+        |         FROM ho h, unnest(generate_series(1, len(h.text) - 2)) AS g(i)),
+        |terms AS (SELECT t.doc_id, t.pos,
+        |            ln(CAST(coalesce(c3.n3, 0) + 1 AS DOUBLE) /
+        |               CAST(coalesce(c2.n2, 0) + v.v AS DOUBLE)) AS term
+        |          FROM toks t LEFT JOIN c3 ON c3.tri = t.tri
+        |               LEFT JOIN c2 ON c2.ctx = substring(t.tri, 1, 2), v),
+        |agg AS (SELECT doc_id, count(*) AS n_tri,
+        |          list_reduce(list_prepend(0.0E0, list(term ORDER BY pos)),
+        |            (a, x) -> a + x) AS lp
+        |        FROM terms GROUP BY doc_id)
+        |SELECT a.doc_id, a.n_tri, round(a.lp / a.n_tri, 6) AS avg_lp,
+        |  (a.lp / a.n_tri >= -1.08E0) AS fluent, v.v AS vocab
+        |FROM agg a, v""".stripMargin,
 
     // the full embedding funnel replayed from raw embeddings: the
     // perturbed-copy corpus (same float32-of-float64 arithmetic), every
