@@ -39,6 +39,12 @@ object SparkEntry {
     * sees; interpolated into both sides. */
   private val Q87Boundary = 250L
 
+  /** q91's vocab cap — deliberately BELOW the fixture's distinct-token
+    * count (31 at both sf0.001 and sf0.01) so the UNK=0 encoding path is
+    * exercised in the graded blobs, not just in specs; interpolated into
+    * both sides. */
+  private val Q91MaxVocab = 24
+
   /** q69's shard count, interpolated into both sides identically. 32 (not
     * the session's shuffle-partitions default the library uses) because
     * the oracle SQL is static while SPARK_GRAFT_CPUS varies per host —
@@ -857,6 +863,22 @@ object SparkEntry {
       // replica + <=1-doc overshoot invariant at two other shard counts.
       graft.pipeline.Packing.tokenBatches(t(s, d, "documents"),
         Q69TokenBudget, Q69Shards)
+    }),
+
+    // ---- training shards MATERIALIZED (r4 verdict item 3): q69 assigns
+    // docs to token-budget batches; q91 emits the artifact — per
+    // (shard, batch) one binary blob of big-endian uint16 token ids from
+    // a corpus-trained capped vocab (UNK=0 beyond rank 24, exercised:
+    // the fixture has 31 distinct tokens). Graded by blob md5 + byte
+    // count (q34's md5-block pattern); ShardsSpec adds an independent
+    // byte-level replica and the resumable sink's preempt/resume runs ----
+    "q91_training_shards" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      graft.pipeline.Shards
+        .batchBlobs(t(s, d, "documents"), Q69TokenBudget, Q69Shards, Q91MaxVocab)
+        .select(col("shard"), col("batch_id"), col("n_docs"), col("total_tokens"),
+          length(col("blob")).cast("long").as("n_bytes"),
+          md5(hex(col("blob")).cast("binary")).as("blob_md5"))
     }),
 
     "q64_percentiles" -> ((s, d) => {
@@ -2625,6 +2647,47 @@ object SparkEntry {
          |  (min(CASE WHEN o.owner = k.doc_id THEN 1 ELSE 0 END) = 1) AS kept
          |FROM keys k JOIN own o USING (bk)
          |GROUP BY k.doc_id""".stripMargin,
+
+    // the shard blobs replayed byte-for-byte from the documents table:
+    // trained vocab ranks (count desc, token), the UNK cap, every doc's
+    // position-ordered uint16 hex encoding, q69's shard/batch assignment,
+    // and the doc_id-ordered per-batch concat — md5 compared over the
+    // SAME hex text both engines build (blob = unhex of it)
+    "q91_training_shards" ->
+      s"""WITH toks AS (
+         |  SELECT d.doc_id, g.i AS pos, d.tk[g.i] AS tok
+         |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+         |        FROM documents) d,
+         |       unnest(generate_series(1, len(d.tk))) AS g(i)),
+         |vc AS (SELECT tok, count(*) AS n FROM toks GROUP BY tok),
+         |vocab AS (
+         |  SELECT tok, CASE WHEN rn <= $Q91MaxVocab THEN rn ELSE 0 END AS tid
+         |  FROM (SELECT tok, row_number() OVER (ORDER BY n DESC, tok) AS rn FROM vc)),
+         |dochex AS (
+         |  SELECT t.doc_id, count(*) AS n_toks,
+         |    string_agg(upper(lpad(to_hex(v.tid), 4, '0')), '' ORDER BY t.pos) AS doc_hex
+         |  FROM toks t JOIN vocab v USING (tok) GROUP BY t.doc_id),
+         |shards AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_transform(
+         |      string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
+         |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+         |      (acc, x) -> acc * 16 + x) % $Q69Shards AS shard
+         |  FROM documents),
+         |asg AS (
+         |  SELECT s.shard, d.doc_id, d.n_toks,
+         |    CAST((sum(d.n_toks) OVER (PARTITION BY s.shard ORDER BY d.doc_id
+         |      ROWS UNBOUNDED PRECEDING) - d.n_toks) // $Q69TokenBudget AS BIGINT) AS batch_id
+         |  FROM dochex d JOIN shards s USING (doc_id)),
+         |b AS (
+         |  SELECT a.shard, a.batch_id, count(*) AS n_docs,
+         |    CAST(sum(a.n_toks) AS BIGINT) AS total_tokens,
+         |    string_agg(d.doc_hex, '' ORDER BY a.doc_id) AS hexcat
+         |  FROM asg a JOIN dochex d USING (doc_id)
+         |  GROUP BY a.shard, a.batch_id)
+         |SELECT shard, batch_id, n_docs, total_tokens,
+         |  CAST(2 * total_tokens AS BIGINT) AS n_bytes, md5(hexcat) AS blob_md5
+         |FROM b""".stripMargin,
 
     // the trained LM replayed END TO END from the documents table: the
     // train-split trigram counts (exact integers), context sums, vocab

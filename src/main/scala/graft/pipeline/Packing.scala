@@ -26,6 +26,14 @@ import org.apache.spark.sql.functions._
  */
 object Packing {
 
+  /** The replayable shard hash: first 15 hex chars of md5(id) mod
+    * nShards (15 chars = 60 bits, fits a positive long; same machinery
+    * as the q53 sampling buckets, replayed verbatim in the DuckDB
+    * oracle). Shared with [[Shards.writeShards]]'s resume bucketing so
+    * the sink's resume unit IS the packing shard. */
+  def shardOf(id: org.apache.spark.sql.Column, nShards: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long") % nShards
+
   /** Per-doc batch assignment: (doc_id, n_toks, shard, batch_id).
     * `nShards <= 0` means "use spark.sql.shuffle.partitions". */
   def tokenBatchAssignments(docs: DataFrame, budget: Long, nShards: Int = 0): DataFrame = {
@@ -34,11 +42,7 @@ object Packing {
       if (nShards > 0) nShards
       else docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val nToks = size(split(trim(col("text")), "\\s+")).cast("long")
-    // replayable shard hash: first 15 hex chars of md5(id) mod nShards
-    // (15 chars = 60 bits, fits a positive long; same machinery as the
-    // q53 sampling buckets, replayed verbatim in the DuckDB oracle)
-    val shard = conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-      .cast("long") % shards
+    val shard = shardOf(col("doc_id"), shards)
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs
