@@ -1514,6 +1514,45 @@ object SparkEntry {
         StructType(Seq(StructField("doc_id", LongType), StructField("n_bands", LongType))))
     }),
 
+    // ---- second streaming CORRECTNESS row (r4 verdict item 4): the
+    // watermarked STREAM-STREAM interval join (pages x crawl-budget
+    // grants) EXECUTES under AvailableNow and its own emitted rows are
+    // the graded frame — the state-eviction-bounded join becomes
+    // driver-certified, like q74 did for the stateful dedup. Single-file
+    // fixtures per side => one micro-batch => the batch twin (a plain
+    // interval join, the oracle) is exactly the expected output. ----
+    "q92_streaming_budget_join" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      val (pagesDir, grantsDir) = graft.data.Fixtures.budgetStreamDirs(s, d)
+      def src(dir: String) = s.readStream
+        .schema(s.read.parquet(dir).schema).parquet(dir)
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.Row]()
+      val nDataBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = graft.streaming.PageStream
+        .pagesWithBudget(src(pagesDir), src(grantsDir))
+        .select(col("url"), expr("unix_micros(warc_ts)").as("ts_us"),
+          col("host"), col("grant_id"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val rows = batch.collect()
+          if (rows.nonEmpty) nDataBatches.incrementAndGet()
+          rows.foreach(acc.add)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(nDataBatches.get() == 1L,
+        s"q92 expected exactly 1 data-carrying micro-batch, saw ${nDataBatches.get()} — " +
+          "the stream fixtures are no longer single files; a multi-batch run can drop " +
+          "late rows and diverge from the batch-twin oracle (see Fixtures.budgetStreamDirs)")
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      s.createDataFrame(acc.asScala.toSeq.asJava,
+        StructType(Seq(StructField("url", StringType), StructField("ts_us", LongType),
+          StructField("host", StringType), StructField("grant_id", LongType))))
+    }),
+
     "q84_bottomk_sample" -> ((s, d) => {
       graft.functions.registerAll(s)
       // deterministic uniform sample: 100 docs with the smallest content
@@ -1556,6 +1595,9 @@ object SparkEntry {
   // DuckDB oracle SQL — identical column names + value-exact expressions.
   // =========================================================================
   private def pagesCte: String = s"WITH pages AS (${Pages.sqlView(Amp)})"
+
+  /** q92's shared time base as a SQL literal. */
+  private def BudgetBaseUsSql: String = graft.data.Fixtures.BudgetBaseUs.toString
 
   /** The boundary dim recomputed in PURE JVM (no Spark) — the same kernel
     * calls, in the same order, as `CourseEngine.boundaries` (gaussian
@@ -2836,6 +2878,27 @@ object SparkEntry {
          |FROM keys k JOIN own o USING (bk)
          |GROUP BY k.doc_id
          |HAVING min(CASE WHEN o.owner = k.doc_id THEN 1 ELSE 0 END) = 1""".stripMargin,
+
+    // the stream-stream join's oracle is its BATCH TWIN: both fixture
+    // tables re-derived from scratch (pages from documents, grants from
+    // generate_series — same arithmetic as Fixtures.budgetStreamDirs),
+    // joined with the plain interval predicate; valid because the
+    // single-micro-batch run can drop nothing as late
+    "q92_streaming_budget_join" ->
+      s"""WITH p AS (
+         |  SELECT 'https://host' || (doc_id % 20) || '.example.com/p/' || doc_id AS url,
+         |         'host' || (doc_id % 20) || '.example.com' AS host,
+         |         CAST($BudgetBaseUsSql + doc_id * 37000000 AS BIGINT) AS ts_us
+         |  FROM documents),
+         |b AS (
+         |  SELECT CAST(g.i AS BIGINT) AS grant_id,
+         |         'host' || (g.i // 10) || '.example.com' AS host,
+         |         CAST($BudgetBaseUsSql + ((g.i // 10) * 97 + (g.i % 10) * 533) * 1000000 AS BIGINT) AS issued_us
+         |  FROM unnest(generate_series(0, 199)) AS g(i))
+         |SELECT p.url, p.ts_us, p.host, b.grant_id
+         |FROM p JOIN b ON p.host = b.host
+         |  AND p.ts_us >= b.issued_us
+         |  AND p.ts_us < b.issued_us + 3600000000""".stripMargin,
 
     // the oracle runs the PLAIN range-predicate join DuckDB optimizes
     // natively — an implementation-independent restatement of q67

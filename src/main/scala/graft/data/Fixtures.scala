@@ -233,6 +233,50 @@ object Fixtures {
   }
 
   // -------------------------------------------------------------------
+  // q92 — the stream-stream budget-join inputs: a pages stream (url +
+  // event time derived from documents) and a crawl-budget grants stream
+  // (20 hosts x 10 grants, deterministic issue times). Each side is ONE
+  // parquet file — the q74 single-micro-batch rule: an inner stream-
+  // stream join emits matches as both sides arrive, and a single batch
+  // means the watermark can never drop a row as late, so the batch twin
+  // (a plain interval join, the q92 oracle) is exactly the expected
+  // output.
+  // -------------------------------------------------------------------
+  /** 2025-03-01T00:00:00Z in epoch micros — shared by the fixture builder
+    * and the q92 oracle SQL (one constant, both sides). */
+  val BudgetBaseUs: Long =
+    java.time.Instant.parse("2025-03-01T00:00:00Z").getEpochSecond * 1000000L
+
+  def budgetStreamDirs(spark: SparkSession, sfDir: String): (String, String) = {
+    import org.apache.spark.sql.functions._
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val pagesDir = s"$Root/budget_pages_$tag"
+    val grantsDir = s"$Root/budget_grants_$tag"
+    once(pagesDir) {
+      deleteRecursively(new java.io.File(pagesDir))
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id").cast("long").as("doc_id"))
+        .select(
+          concat(lit("https://host"), (col("doc_id") % 20).cast("string"),
+            lit(".example.com/p/"), col("doc_id").cast("string")).as("url"),
+          expr(s"timestamp_micros($BudgetBaseUs + doc_id * 37000000)").as("warc_ts"))
+        .coalesce(1).write.parquet(pagesDir)
+    }
+    once(grantsDir) {
+      deleteRecursively(new java.io.File(grantsDir))
+      spark.range(0, 200)
+        .select(
+          concat(lit("host"), (col("id") / 10).cast("long").cast("string"),
+            lit(".example.com")).as("host"),
+          col("id").as("grant_id"),
+          expr(s"timestamp_micros($BudgetBaseUs + " +
+            s"((id div 10) * 97 + (id % 10) * 533) * 1000000)").as("issued_ts"))
+        .coalesce(1).write.parquet(grantsDir)
+    }
+    (pagesDir, grantsDir)
+  }
+
+  // -------------------------------------------------------------------
   // q89 — the embedding near-dup corpus: the embeddings table plus
   // deterministic near-duplicate copies (ONE perturbed component each).
   // The raw fixture's max pairwise cosine is 0.513 — far below any
