@@ -1151,23 +1151,53 @@ object SparkEntry {
       graft.functions.registerAll(s)
       // LSH-bucketed ANN (the scale path, recall < 1 by construction):
       // 4 hash tables x 8 hyperplane bits; candidates share any table's
-      // bucket with the query, then exact cosine top-10 over candidates.
-      val tables = array((0 until 4).map(i =>
-        concat(lit(i), lit(":"), gf.hyperplane_lsh(col("embedding"), lit(8), lit(100L + i)))): _*)
-      val emb = t(s, d, "embeddings").withColumn("buckets", tables)
-      val flat = emb.select(col("vec_id"), col("embedding"), explode(col("buckets")).as("bucket"))
-      val queriesDf = flat.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
-          col("bucket").as("qbucket"))
+      // bucket with the query, then exact cosine top-10 over candidates
+      // (pipeline.Ann.lshTopK — one definition with the q93 recall row).
+      val emb = t(s, d, "embeddings")
+      graft.pipeline.Ann.lshTopK(emb,
+          emb.filter(col("vec_id") < 8)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qvec")),
+          k = 10)
+        .select(col("query_id"), col("rank"), col("vec_id"),
+          round(col("sim"), 6).as("sim"))
+    }),
+
+    // ---- ANN recall as a GRADED surface (r4 verdict item 8): the LSH
+    // funnel scored against an exact brute anchor per query point, run
+    // over the q89 dup corpus where TRUE near neighbors exist (on the
+    // raw fixture the brute "top-10" are cosine~0.4 strangers LSH is not
+    // built to find — measured recall 0-0.2, a vacuous bound). Graded
+    // columns: recall@10 (exact rational) plus the asserted guarantee
+    // (q82's pattern): the funnel's top-1 IS the true nearest neighbor
+    // — the planted >=0.996-cosine dup — for EVERY query point. ----
+    "q93_ann_recall" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      val corpus = graft.data.Fixtures.embDupCorpus(s, d)
+      val qs = corpus.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val lsh = graft.pipeline.Ann.lshTopK(corpus, qs, k = 10)
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("vec_id"))
-      flat.join(broadcast(queriesDf), col("bucket") === col("qbucket"))
+      val brute = corpus.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("query_id"))
-        .select(col("query_id"), col("vec_id"), col("embedding"), col("qvec")).distinct()
         .withColumn("sim", gf.cosine_sim(col("embedding"), col("qvec")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
-        .select(col("query_id"), col("rank"), col("vec_id"), round(col("sim"), 6).as("sim"))
+        .select(col("query_id"), col("rank"), col("vec_id"))
+      val top1 = brute.filter(col("rank") === 1)
+        .select(col("query_id"), col("vec_id").as("top1_id"))
+      val lshTop1 = lsh.filter(col("rank") === 1)
+        .select(col("query_id"), col("vec_id").as("lsh_top1"))
+      brute.join(lsh.select(col("query_id"), col("vec_id"))
+            .withColumn("__hit", lit(1)), Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_brute"),
+          sum(coalesce(col("__hit"), lit(0))).as("n_hit"))
+        .join(top1, Seq("query_id")).join(lshTop1, Seq("query_id"))
+        .select(col("query_id"), col("n_brute"), col("n_hit"),
+          (col("n_hit").cast("double") / lit(10.0)).as("recall"),
+          col("top1_id"),
+          (col("top1_id") === col("lsh_top1")).as("top1_found"))
     }),
 
     "q62_ann_ivf_kmeans" -> ((s, d) => {
@@ -1846,6 +1876,66 @@ object SparkEntry {
       }
     }.mkString(",")
 
+  /** The q31 LSH-ANN funnel as a CTE chain ending in
+    * `lshtop(query_id, rank, vec_id, sim)` over source table `src` —
+    * shared by the q31 oracle (over `embeddings`) and the q93 recall
+    * oracle (over the dup `corpus`); single definition, like
+    * minhashBandCtes. Must be spliced after `WITH`. */
+  private def lshTop10Ctes(src: String = "embeddings"): String =
+    s"""hp AS (
+       |  SELECT * FROM (VALUES $oracleHyperplaneValues) AS h(tbl, bit, ws)),
+       |dots AS (
+       |  SELECT e.vec_id, h.tbl, h.bit,
+       |    ${orderedSum("h.ws", i => s"CAST(e.embedding[$i] AS DOUBLE) * h.ws[$i]")} AS dot
+       |  FROM $src e CROSS JOIN hp h),
+       |buckets AS (
+       |  SELECT vec_id, tbl,
+       |    sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY vec_id, tbl),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, e.vec_id
+       |  FROM buckets q JOIN buckets e ON q.tbl = e.tbl AND q.bucket = e.bucket
+       |  WHERE q.vec_id < 8 AND e.vec_id != q.vec_id),
+       |sims AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    ${orderedSum("a.embedding",
+           i => s"CAST(a.embedding[$i] AS DOUBLE) * CAST(b.embedding[$i] AS DOUBLE)")} AS dot,
+       |    ${orderedSum("a.embedding",
+           i => s"CAST(a.embedding[$i] AS DOUBLE) * CAST(a.embedding[$i] AS DOUBLE)")} AS na,
+       |    ${orderedSum("b.embedding",
+           i => s"CAST(b.embedding[$i] AS DOUBLE) * CAST(b.embedding[$i] AS DOUBLE)")} AS nb
+       |  FROM cand c JOIN $src a ON a.vec_id = c.vec_id
+       |              JOIN $src b ON b.vec_id = c.query_id),
+       |lshtop AS (
+       |  SELECT query_id, rank, vec_id, sim FROM (
+       |    SELECT query_id, vec_id,
+       |      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY
+       |        CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END DESC,
+       |        vec_id) AS rank
+       |    FROM sims)
+       |  WHERE rank <= 10)""".stripMargin
+
+  /** The q89 dup corpus as a CTE (Fixtures.embDupCorpus replayed) —
+    * shared by the q89 and q93 oracles. Must be spliced after `WITH`. */
+  private def embDupCorpusCte: String =
+    s"""corpus AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT CAST(vec_id AS BIGINT) + 1000,
+       |    list_transform(generate_series(1, len(embedding)), i ->
+       |      CASE WHEN i - 1 = vec_id % 64
+       |           THEN CAST(CAST(embedding[i] AS DOUBLE) + 0.05E0 AS REAL)
+       |           ELSE embedding[i] END)
+       |  FROM embeddings
+       |  UNION ALL
+       |  SELECT CAST(vec_id AS BIGINT) + 2000,
+       |    list_transform(generate_series(1, len(embedding)), i ->
+       |      CASE WHEN i - 1 = (vec_id * 7 + 13) % 64
+       |           THEN CAST(CAST(embedding[i] AS DOUBLE) + 0.07E0 AS REAL)
+       |           ELSE embedding[i] END)
+       |  FROM embeddings WHERE vec_id < 100)""".stripMargin
+
   /** Ordered float64 fold of `f(i)` over i = 1..len(`arr`) — DuckDB's sum()
     * is order-nondeterministic; the engine accumulates sequentially. */
   private def orderedSum(arr: String, f: String => String): String =
@@ -2475,38 +2565,43 @@ object SparkEntry {
     // bucket, candidate pair, exact cosine (engine accumulation order →
     // bit-identical sims) and rank
     "q31_ann_lsh" ->
-      s"""WITH hp AS (
-         |  SELECT * FROM (VALUES $oracleHyperplaneValues) AS h(tbl, bit, ws)),
-         |dots AS (
-         |  SELECT e.vec_id, h.tbl, h.bit,
-         |    ${orderedSum("h.ws", i => s"CAST(e.embedding[$i] AS DOUBLE) * h.ws[$i]")} AS dot
-         |  FROM embeddings e CROSS JOIN hp h),
-         |buckets AS (
-         |  SELECT vec_id, tbl,
-         |    sum(CASE WHEN dot >= 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS bucket
-         |  FROM dots GROUP BY vec_id, tbl),
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS query_id, e.vec_id
-         |  FROM buckets q JOIN buckets e ON q.tbl = e.tbl AND q.bucket = e.bucket
-         |  WHERE q.vec_id < 8 AND e.vec_id != q.vec_id),
-         |sims AS (
-         |  SELECT c.query_id, c.vec_id,
-         |    ${orderedSum("a.embedding",
-             i => s"CAST(a.embedding[$i] AS DOUBLE) * CAST(b.embedding[$i] AS DOUBLE)")} AS dot,
-         |    ${orderedSum("a.embedding",
-             i => s"CAST(a.embedding[$i] AS DOUBLE) * CAST(a.embedding[$i] AS DOUBLE)")} AS na,
-         |    ${orderedSum("b.embedding",
-             i => s"CAST(b.embedding[$i] AS DOUBLE) * CAST(b.embedding[$i] AS DOUBLE)")} AS nb
-         |  FROM cand c JOIN embeddings a ON a.vec_id = c.vec_id
-         |              JOIN embeddings b ON b.vec_id = c.query_id)
-         |SELECT query_id, rank, vec_id, round(sim, 6) AS sim FROM (
-         |  SELECT query_id, vec_id,
-         |    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim,
-         |    row_number() OVER (PARTITION BY query_id ORDER BY
-         |      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END DESC,
-         |      vec_id) AS rank
-         |  FROM sims)
-         |WHERE rank <= 10""".stripMargin,
+      s"""WITH ${lshTop10Ctes()}
+         |SELECT query_id, rank, vec_id, round(sim, 6) AS sim
+         |FROM lshtop""".stripMargin,
+
+    // recall of the LSH funnel vs an exact brute anchor AS GRADED COLUMNS
+    // (the q82 pattern: the quality guarantee is asserted inside the
+    // output) — over the dup corpus, where true near neighbors exist.
+    // recall@10 is a rational n_hit/10 (exact in both engines); the
+    // brute ranking replays the engine's exact double fold (cosSqlExpr,
+    // not float32 list_cosine_similarity — the doubled corpus has
+    // near-tied stranger ranks a float32 replay could flip).
+    "q93_ann_recall" ->
+      s"""WITH $embDupCorpusCte,
+         |${lshTop10Ctes("corpus")},
+         |brute AS (
+         |  SELECT query_id, rank, vec_id FROM (
+         |    SELECT q.query_id, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosSqlExpr("e.embedding", "q.qvec")} DESC, e.vec_id) AS rank
+         |    FROM corpus e
+         |    CROSS JOIN (SELECT vec_id AS query_id, embedding AS qvec
+         |                FROM corpus WHERE vec_id < 8) q
+         |    WHERE e.vec_id <> q.query_id)
+         |  WHERE rank <= 10),
+         |top1 AS (SELECT query_id, vec_id AS top1_id FROM brute WHERE rank = 1),
+         |l1 AS (SELECT query_id, vec_id AS lsh_top1 FROM lshtop WHERE rank = 1),
+         |hits AS (
+         |  SELECT b.query_id, count(*) AS n_brute,
+         |    sum(CASE WHEN l.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+         |  FROM brute b LEFT JOIN lshtop l
+         |    ON l.query_id = b.query_id AND l.vec_id = b.vec_id
+         |  GROUP BY b.query_id)
+         |SELECT h.query_id, CAST(h.n_brute AS BIGINT) AS n_brute,
+         |  CAST(h.n_hit AS BIGINT) AS n_hit,
+         |  CAST(h.n_hit AS DOUBLE) / 10.0E0 AS recall,
+         |  t.top1_id, (t.top1_id = l1.lsh_top1) AS top1_found
+         |FROM hits h JOIN top1 t USING (query_id) JOIN l1 USING (query_id)""".stripMargin,
 
     // trained-quantizer IVF, FULLY replayed: the id-sample seed, BOTH
     // k-means iterations (exact-cosine argmax assignment + quantized-mean
@@ -2766,22 +2861,7 @@ object SparkEntry {
     // decision (bit-identical fold on both sides of 0.95), and the
     // recursive component closure with singleton fill-in
     "q89_embedding_dedup" ->
-      s"""WITH RECURSIVE corpus AS (
-         |  SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
-         |  UNION ALL
-         |  SELECT CAST(vec_id AS BIGINT) + 1000,
-         |    list_transform(generate_series(1, len(embedding)), i ->
-         |      CASE WHEN i - 1 = vec_id % 64
-         |           THEN CAST(CAST(embedding[i] AS DOUBLE) + 0.05E0 AS REAL)
-         |           ELSE embedding[i] END)
-         |  FROM embeddings
-         |  UNION ALL
-         |  SELECT CAST(vec_id AS BIGINT) + 2000,
-         |    list_transform(generate_series(1, len(embedding)), i ->
-         |      CASE WHEN i - 1 = (vec_id * 7 + 13) % 64
-         |           THEN CAST(CAST(embedding[i] AS DOUBLE) + 0.07E0 AS REAL)
-         |           ELSE embedding[i] END)
-         |  FROM embeddings WHERE vec_id < 100),
+      s"""WITH RECURSIVE $embDupCorpusCte,
          |hp AS (
          |  SELECT * FROM (VALUES $oracleHyperplaneValues) AS h(tbl, bit, ws)),
          |dots AS (

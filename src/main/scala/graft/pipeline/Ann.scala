@@ -99,6 +99,34 @@ object Ann {
       .select(col("vec_id"), col("list_id"), col("embedding"))
 
   /**
+   * Hyperplane-LSH top-k (q31's funnel as a reusable operator, shared
+   * with the q93 recall surface): candidates share any of `nTables`
+   * bucket tables with the query (bucket-keyed equi-join — candidate
+   * generation never touches non-colliding vectors), then exact cosine
+   * top-k within candidates. `queries` = (query_id, qvec). Recall < 1 by
+   * construction; q93 grades it against the brute anchor per query point.
+   */
+  def lshTopK(emb: DataFrame, queries: DataFrame, k: Int,
+              nTables: Int = 4, nBits: Int = 8, seed: Long = 100L): DataFrame = {
+    def buckets(v: org.apache.spark.sql.Column) =
+      array((0 until nTables).map(i =>
+        concat(lit(i), lit(":"), gf.hyperplane_lsh(v, lit(nBits), lit(seed + i)))): _*)
+    val flat = emb.select(col("vec_id"), col("embedding"),
+      explode(buckets(col("embedding"))).as("bucket"))
+    val qflat = queries.select(col("query_id"), col("qvec"),
+      explode(buckets(col("qvec"))).as("qbucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    flat.join(broadcast(qflat), col("bucket") === col("qbucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("embedding"), col("qvec")).distinct()
+      .withColumn("sim", gf.cosine_sim(col("embedding"), col("qvec")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
+  }
+
+  /**
    * Top-k per query over the probed lists. `queries` = (query_id, qvec).
    * Exact cosine ranking within candidates; ties broken by vec_id.
    */
