@@ -1330,6 +1330,24 @@ object SparkEntry {
         .select(col("url"), col("text"), col("clubId"), col("courseId"), col("holeNumber"))
     }),
 
+    // ---- the flagship join over MULTI-PIECE boundaries (r4 verdict
+    // stretch item 9): the dim is every standard course plus the
+    // archipelago course whose hole 1 boundary is TWO disjoint pieces
+    // (the case the reference crashes on, plot_courses.py:318). Same
+    // cover + flat-PIP machinery as q40 — the (NaN,NaN)-separated
+    // multi-piece flat encoding — oracled by an independent per-piece
+    // ray cast with the containsStrict rule (on ANY piece's edge ->
+    // out; inside any piece -> in). Single-piece holes produce
+    // bit-identical boundaries to q40's dim (MultiPieceSpec pins it). ----
+    "q94_course_assign_multi" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      val bM = dimCache.computeIfAbsent((s, "boundsMulti"), _ =>
+        graft.sources.Storage.localize(
+          CourseEngine.boundariesMulti(Courses.itemsDfWithIslands(s, NCourses))))
+      SpatialJoin.assignPages(pages(s, d), SpatialJoin.coverDf(bM), bM)
+        .select(col("url"), col("clubId"), col("courseId"), col("holeNumber"))
+    }),
+
     "q43_clip_join" -> ((s, d) => {
       // clip_area is quantized to a fixed 1e-10 deg^2 grid (~1 m^2 — 4-5
       // significant digits at these hole sizes) and sub-quantum rows are
@@ -1651,6 +1669,27 @@ object SparkEntry {
           if (graft.geom.Geom.nPts(smoothed) < 3 ||
               graft.geom.Geom.nPts(closed) - 1 < 3) None
           else Some((c.clubId, c.courseId, pos + 1, closed))
+        }
+      }
+    }
+
+  /** The MULTI-PIECE boundary dim recomputed in pure JVM — the same
+    * kernel calls as `CourseEngine.boundariesMulti` (every HoleBoundary
+    * item cleaned like [[oracleBounds]], degenerate pieces dropped), one
+    * entry per (hole, piece). MultiPieceSpec pins bit-equality with the
+    * engine dim. */
+  private[graft] lazy val oracleBoundsMulti: Seq[(String, String, Int, Int, Array[Double])] =
+    Courses.coursesWithIslands(NCourses).flatMap { c =>
+      c.holes.zipWithIndex.flatMap { case (h, pos) =>
+        h.gpsItems.filter(_.itemType == "HoleBoundary").zipWithIndex.flatMap {
+          case (item, pi) =>
+            val flat = item.shape.iterator
+              .flatMap(p => Iterator(p.longitude, p.latitude)).toArray
+            val smoothed = graft.geom.Geom.gaussianSmooth(flat, 1.0)
+            val closed = graft.geom.Geom.closeRing(smoothed)
+            if (graft.geom.Geom.nPts(smoothed) < 3 ||
+                graft.geom.Geom.nPts(closed) - 1 < 3) None
+            else Some((c.clubId, c.courseId, pos + 1, pi, closed))
         }
       }
     }
@@ -2180,6 +2219,49 @@ object SparkEntry {
     * boundary coordinates. `pr[1]` = prev vertex, `pr[2]` = cur vertex;
     * the inclusive envelope pre-join only ADDS candidates (a strictly
     * interior point is never outside the envelope). */
+  /** Per-(hole, piece) boundary VALUES for the multi-piece oracle. */
+  private lazy val oracleBoundsMultiValues: String =
+    oracleBoundsMulti.map { case (cl, co, h, pi, flat) =>
+      val e = graft.geom.Geom.envelope(flat)
+      val pts = (0 until graft.geom.Geom.nPts(flat))
+        .map(i => s"[${dlit(flat(2 * i))},${dlit(flat(2 * i + 1))}]").mkString("[", ",", "]")
+      s"('$cl','$co',$h,$pi,${dlit(e(0))},${dlit(e(1))},${dlit(e(2))},${dlit(e(3))},$pts)"
+    }.mkString(",")
+
+  /** The multi-piece containment replay: per-piece envelope prefilter,
+    * per-piece on-edge + even-odd ray cast (the same list arithmetic as
+    * [[pipHitsCtes]]), then the containsStrict rule aggregated per
+    * (page, hole): on ANY piece's edge -> excluded, inside any piece ->
+    * hit. Ends in `hitsm(url, lon, lat, clubId, courseId, holeNumber)`. */
+  private def pipHitsMultiCtes: String =
+    s"""boundsm AS (
+       |  SELECT * FROM (VALUES $oracleBoundsMultiValues)
+       |    AS b(clubId, courseId, holeNumber, piece, minx, miny, maxx, maxy, ring)
+       |),
+       |candm AS (
+       |  SELECT p.url, p.lon, p.lat, b.clubId, b.courseId, b.holeNumber, b.piece,
+       |    list_zip(list_prepend(b.ring[len(b.ring)], b.ring[1:len(b.ring)-1]), b.ring) AS prs
+       |  FROM pages p JOIN boundsm b
+       |    ON p.lon >= b.minx AND p.lon <= b.maxx AND p.lat >= b.miny AND p.lat <= b.maxy
+       |),
+       |relm AS (
+       |  SELECT url, lon, lat, clubId, courseId, holeNumber, piece,
+       |    (len(list_filter(prs, pr ->
+       |      (pr[2][1] - pr[1][1]) * (lat - pr[1][2]) - (pr[2][2] - pr[1][2]) * (lon - pr[1][1]) = 0
+       |      AND lon >= least(pr[1][1], pr[2][1]) AND lon <= greatest(pr[1][1], pr[2][1])
+       |      AND lat >= least(pr[1][2], pr[2][2]) AND lat <= greatest(pr[1][2], pr[2][2]))) > 0) AS onedge,
+       |    (len(list_filter(prs, pr ->
+       |      ((pr[2][2] > lat) != (pr[1][2] > lat))
+       |      AND lon < (pr[1][1] - pr[2][1]) * (lat - pr[2][2]) / (pr[1][2] - pr[2][2]) + pr[2][1])) % 2 = 1) AS inside
+       |  FROM candm
+       |),
+       |hitsm AS (
+       |  SELECT url, lon, lat, clubId, courseId, holeNumber
+       |  FROM relm GROUP BY url, lon, lat, clubId, courseId, holeNumber
+       |  HAVING sum(CASE WHEN onedge THEN 1 ELSE 0 END) = 0
+       |     AND sum(CASE WHEN inside THEN 1 ELSE 0 END) > 0
+       |)""".stripMargin
+
   private def pipHitsCtes: String =
     s"""bounds AS (
        |  SELECT * FROM (VALUES $oracleBoundsValues)
@@ -3301,6 +3383,9 @@ object SparkEntry {
 
     // q72 must equal q40 row-for-row (same containment relation, different
     // physical join) — same independent ray-cast oracle
+    "q94_course_assign_multi" -> (pagesCte + ",\n" + pipHitsMultiCtes + "\n" +
+      "SELECT url, clubId, courseId, holeNumber FROM hitsm"),
+
     "q72_course_assign_smj" -> (pagesCte + ",\n" + pipHitsCtes + "\n" +
       "SELECT url, text, clubId, courseId, holeNumber FROM hits"),
 

@@ -82,6 +82,48 @@ object Courses {
     Hole(((items.take(mid) :+ GpsItem("HoleBoundary", boundary)) ++ items.drop(mid)).toSeq)
   }
 
+  /**
+   * One ARCHIPELAGO course (r4 verdict stretch item): holes whose
+   * boundary is MULTIPLE disjoint pieces — each piece its own
+   * HoleBoundary item, consumed by `CourseEngine.boundariesMulti` (the
+   * reference crashes on multi-piece boundaries, plot_courses.py:318;
+   * exceeding it is the point). Built on its OWN Random so the shared
+   * fixture RNG stream — and every pinned margin derived from it — is
+   * untouched. Hole 1 has two pieces ~8 radii apart (pages land in both),
+   * hole 2 is a single-piece control.
+   */
+  def islandCourse(seed: Long = 4242L): CourseLayout = {
+    val rnd = new Random(seed)
+    val cx = Pages.cityLon(0) + 0.11
+    val cy = Pages.cityLat(0) + 0.04
+    val rx = 0.004; val ry = 0.0025
+    def pieces(hx: Double, hy: Double, n: Int): Seq[GpsItem] =
+      (0 until n).map(p =>
+        GpsItem("HoleBoundary", boundaryRing(rnd, hx + p * 8 * rx, hy, rx, ry)))
+    val h1 = Hole(pieces(cx, cy, 2) :+
+      GpsItem(markerTypes.head, Seq(GpsPoint(cx, cy))))
+    val h2 = Hole(pieces(cx + 0.05, cy, 1) :+
+      GpsItem(markerTypes.head, Seq(GpsPoint(cx + 0.05, cy))))
+    CourseLayout("club-9000", "course-9000", Seq(h1, h2))
+  }
+
+  /** The standard course set plus the archipelago course — the dim the
+    * multi-piece flagship row (q94) joins against. */
+  def coursesWithIslands(nCourses: Int, seed: Long = 42L): Seq[CourseLayout] =
+    courses(nCourses, seed) :+ islandCourse()
+
+  def itemsDfWithIslands(spark: SparkSession, nCourses: Int, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ds = spark.createDataset(coursesWithIslands(nCourses, seed))
+    ds.select($"clubId", $"courseId", posexplode($"holes").as(Seq("pos", "hole")))
+      .select($"clubId", $"courseId", ($"pos" + 1).as("holeNumber"),
+        posexplode($"hole.gpsItems").as(Seq("itemSeq", "item")))
+      .select($"clubId", $"courseId", $"holeNumber", $"itemSeq",
+        $"item.itemType".as("itemType"),
+        expr("transform(item.shape, p -> struct(p.longitude AS x, p.latitude AS y))").as("shape"))
+  }
+
   /** Deterministic course set clustered around the Pages city centers. */
   def courses(nCourses: Int, seed: Long = 42L): Seq[CourseLayout] = {
     val rnd = new Random(seed)

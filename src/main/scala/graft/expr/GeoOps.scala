@@ -109,45 +109,74 @@ object GeoOps {
     if (inside) 2 else 0
   }
 
-  /** Shell ring flattened to ARRAY<DOUBLE> [x0,y0,x1,y1,...] — the
+  /** Polygon flattened to ARRAY<DOUBLE> [x0,y0,x1,y1,...] — the
     * zero-allocation probe form (primitive getDouble, no struct views).
-    * Exterior-only, like the reference's rendering (plot_courses.py:
-    * 184-186 uses `.exterior`). */
+    * Exterior shells only, like the reference's rendering
+    * (plot_courses.py:184-186 uses `.exterior`); a MULTI-PIECE polygon
+    * (disjoint pieces, the engine's only multi-ring meaning) flattens
+    * ALL piece shells separated by one (NaN, NaN) pair — the single-ring
+    * output is byte-identical to the pre-r5 form, so every single-piece
+    * plan and oracle is untouched. */
   def flattenShell(poly: ArrayData): ArrayData = {
-    if (poly.numElements() == 0) return new GenericArrayData(Array.empty[Double])
-    val shell = poly.getArray(0)
-    val n = shell.numElements()
-    val out = new Array[Double](2 * n)
-    var i = 0
-    while (i < n) {
-      val p = shell.getStruct(i, 2)
-      out(2 * i) = p.getDouble(0)
-      out(2 * i + 1) = p.getDouble(1)
-      i += 1
+    val nr = poly.numElements()
+    if (nr == 0) return new GenericArrayData(Array.empty[Double])
+    var total = 0
+    var r = 0
+    while (r < nr) { total += poly.getArray(r).numElements(); r += 1 }
+    val out = new Array[Double](2 * total + 2 * (nr - 1))
+    var o = 0
+    r = 0
+    while (r < nr) {
+      if (r > 0) { out(o) = Double.NaN; out(o + 1) = Double.NaN; o += 2 }
+      val shell = poly.getArray(r)
+      val n = shell.numElements()
+      var i = 0
+      while (i < n) {
+        val p = shell.getStruct(i, 2)
+        out(o) = p.getDouble(0)
+        out(o + 1) = p.getDouble(1)
+        o += 2
+        i += 1
+      }
+      r += 1
     }
     new GenericArrayData(out)
   }
 
-  /** Strict containment against a flattened shell ring: fused on-edge +
-    * even-odd walk over primitive doubles — the join refine hot path. */
+  /** Strict containment against a flattened shell: fused on-edge +
+    * even-odd walk over primitive doubles — the join refine hot path.
+    * Piece-aware ((NaN,NaN)-separated, see [[flattenShell]]): on the
+    * boundary of ANY piece -> false, strictly inside any piece -> true —
+    * the [[graft.geom.Geom.containsStrict]] rule. For a single ring the
+    * arithmetic and outcome are exactly the pre-r5 kernel's. */
   def stContainsFlat(flat: ArrayData, px: Double, py: Double): Boolean = {
-    val n = flat.numElements() / 2
-    if (n < 3) return false
+    val total = flat.numElements() / 2
     var inside = false
-    var xj = flat.getDouble(2 * (n - 1)); var yj = flat.getDouble(2 * (n - 1) + 1)
-    var i = 0
-    while (i < n) {
-      val xi = flat.getDouble(2 * i); val yi = flat.getDouble(2 * i + 1)
-      val cross = (xi - xj) * (py - yj) - (yi - yj) * (px - xj)
-      if (cross == 0.0 &&
-          px >= Math.min(xj, xi) && px <= Math.max(xj, xi) &&
-          py >= Math.min(yj, yi) && py <= Math.max(yj, yi)) return false // on edge
-      if ((yi > py) != (yj > py)) {
-        val xCross = (xj - xi) * (py - yi) / (yj - yi) + xi
-        if (px < xCross) inside = !inside
+    var start = 0
+    while (start < total) {
+      var end = start
+      while (end < total && !java.lang.Double.isNaN(flat.getDouble(2 * end))) end += 1
+      val n = end - start
+      if (n >= 3) {
+        var pieceInside = false
+        var xj = flat.getDouble(2 * (end - 1)); var yj = flat.getDouble(2 * (end - 1) + 1)
+        var i = start
+        while (i < end) {
+          val xi = flat.getDouble(2 * i); val yi = flat.getDouble(2 * i + 1)
+          val cross = (xi - xj) * (py - yj) - (yi - yj) * (px - xj)
+          if (cross == 0.0 &&
+              px >= Math.min(xj, xi) && px <= Math.max(xj, xi) &&
+              py >= Math.min(yj, yi) && py <= Math.max(yj, yi)) return false // on edge
+          if ((yi > py) != (yj > py)) {
+            val xCross = (xj - xi) * (py - yi) / (yj - yi) + xi
+            if (px < xCross) pieceInside = !pieceInside
+          }
+          xj = xi; yj = yi
+          i += 1
+        }
+        if (pieceInside) inside = true
       }
-      xj = xi; yj = yi
-      i += 1
+      start = end + 1
     }
     inside
   }
@@ -272,6 +301,9 @@ object GeoOps {
     * walk (the q75 candidate-refine hot path; HOF composition of the same
     * arithmetic measured 50x slower at sf0.1). */
   def stDistanceToShellM(flat: ArrayData, px: Double, py: Double): Double = {
+    // multi-piece flats carry (NaN,NaN) separators (flattenShell): the two
+    // pseudo-segments touching a separator evaluate to d = NaN, and
+    // `NaN < best` is false, so they self-exclude — no branch needed
     val n = flat.numElements() / 2
     var best = Double.MaxValue
     var i = 0

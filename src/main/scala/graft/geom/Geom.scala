@@ -776,30 +776,44 @@ object Geom {
   final val Dpi = 300.0
   final val MarkerSizeM = 3.0
 
-  /** Strict containment against a FLATTENED shell ring ([x0,y0,x1,y1,...])
-    * — the primitive-array form of [[containsStrict]] restricted to the
-    * exterior, shared by the Catalyst refine expression
+  /** Strict containment against a FLATTENED shell ([x0,y0,x1,y1,...]) —
+    * the primitive-array form of [[containsStrict]] restricted to
+    * exterior shells, shared by the Catalyst refine expression
     * (`GeoOps.stContainsFlat`) and the compact-index probe
     * (`SpatialJoin.assignPagesCompact`) so the two join paths are
-    * bit-identical by construction. */
+    * bit-identical by construction. Piece-aware: multi-piece polygons
+    * flatten with one (NaN, NaN) pair between piece shells
+    * (`GeoOps.flattenShell`); on the boundary of ANY piece -> false,
+    * strictly inside any piece -> true. Single-ring arithmetic and
+    * outcome are exactly the pre-r5 kernel's. */
   def containsFlatShell(flat: Array[Double], px: Double, py: Double): Boolean = {
-    val n = flat.length / 2
-    if (n < 3) return false
+    val total = flat.length / 2
     var inside = false
-    var xj = flat(2 * (n - 1)); var yj = flat(2 * (n - 1) + 1)
-    var i = 0
-    while (i < n) {
-      val xi = flat(2 * i); val yi = flat(2 * i + 1)
-      val cross = (xi - xj) * (py - yj) - (yi - yj) * (px - xj)
-      if (cross == 0.0 &&
-          px >= Math.min(xj, xi) && px <= Math.max(xj, xi) &&
-          py >= Math.min(yj, yi) && py <= Math.max(yj, yi)) return false // on edge
-      if ((yi > py) != (yj > py)) {
-        val xCross = (xj - xi) * (py - yi) / (yj - yi) + xi
-        if (px < xCross) inside = !inside
+    var start = 0
+    while (start < total) {
+      var end = start
+      while (end < total && !java.lang.Double.isNaN(flat(2 * end))) end += 1
+      val n = end - start
+      if (n >= 3) {
+        var pieceInside = false
+        var xj = flat(2 * (end - 1)); var yj = flat(2 * (end - 1) + 1)
+        var i = start
+        while (i < end) {
+          val xi = flat(2 * i); val yi = flat(2 * i + 1)
+          val cross = (xi - xj) * (py - yj) - (yi - yj) * (px - xj)
+          if (cross == 0.0 &&
+              px >= Math.min(xj, xi) && px <= Math.max(xj, xi) &&
+              py >= Math.min(yj, yi) && py <= Math.max(yj, yi)) return false // on edge
+          if ((yi > py) != (yj > py)) {
+            val xCross = (xj - xi) * (py - yi) / (yj - yi) + xi
+            if (px < xCross) pieceInside = !pieceInside
+          }
+          xj = xi; yj = yi
+          i += 1
+        }
+        if (pieceInside) inside = true
       }
-      xj = xi; yj = yi
-      i += 1
+      start = end + 1
     }
     inside
   }

@@ -39,6 +39,26 @@ object CourseEngine {
       .filter(col("boundary").isNotNull)                      // P11 integrity gate (:268-272)
   }
 
+  /** MULTI-PIECE boundary per hole — the capability past the reference's
+    * crash point (plot_courses.py:318 assumes exactly one Polygon;
+    * exceeding it is the point): EVERY HoleBoundary item of a hole
+    * becomes one disjoint piece (cleaned exactly like [[boundaries]];
+    * degenerate pieces dropped), assembled in itemSeq order into one
+    * ARRAY<ring> polygon — the engine's multi-ring = disjoint-pieces
+    * model, which the cover builder, st_contains, and the flat refine
+    * kernels all already honor. Holes with a single HoleBoundary item
+    * produce bit-identical single-ring boundaries to [[boundaries]]. */
+  def boundariesMulti(items: DataFrame): DataFrame =
+    items
+      .filter(col("itemType") === "HoleBoundary")
+      .select(col("clubId"), col("courseId"), col("holeNumber"), col("itemSeq"),
+        make_polygon(closed_ring(gaussian_smooth(col("shape"), lit(1.0)))).as("piece"))
+      .filter(col("piece").isNotNull)
+      .groupBy(holeKey.map(col): _*)
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("itemSeq"), col("piece")))),
+        s => s("piece"))).as("boundary"))
+
   /** Non-boundary items joined to their hole's boundary (J1's equi part).
     * The boundary side is one row per hole -> broadcast. */
   def itemsWithBoundary(items: DataFrame, bounds: DataFrame): DataFrame =

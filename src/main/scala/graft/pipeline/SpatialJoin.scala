@@ -257,7 +257,14 @@ object SpatialJoin {
       val rings = r.getAs[scala.collection.Seq[scala.collection.Seq[org.apache.spark.sql.Row]]](3)
       rings(ringIdx).iterator.flatMap(p => Iterator(p.getDouble(0), p.getDouble(1))).toArray
     }
-    val shells: Array[Array[Double]] = feats.map(ringFlat(_, 0))
+    // all piece shells, (NaN,NaN)-separated — the same multi-piece flat
+    // encoding as GeoOps.flattenShell, so this probe path and the
+    // expression path stay bit-identical on any polygon
+    val shells: Array[Array[Double]] = feats.map { r =>
+      val nr = r.getAs[scala.collection.Seq[Any]](3).length
+      (0 until nr).map(ringFlat(r, _))
+        .reduceLeft((a, b) => a ++ Array(Double.NaN, Double.NaN) ++ b)
+    }
     val entries = feats.iterator.zipWithIndex.flatMap { case (r, fid) =>
       val poly = (0 until r.getAs[scala.collection.Seq[Any]](3).length)
         .map(ringFlat(r, _)).toArray
