@@ -130,11 +130,14 @@ object Bench {
     val windowMedians: Seq[Map[String, Double]] = (1 to windows).map { _ =>
       names.map { name =>
         val fn = SparkEntry.queries(name)
-        // q74 drives a checkpointed two-stateful-operator streaming pipeline
-        // whose per-run cost is micro-batch machinery, not engine dataflow
-        // (r4 verdict item 7): one timed run per window — the documented
-        // exemption from median-of-N; cross-window min still guards it.
-        val runs = if (name == "q74_streaming_neardup") 1 else runsPer
+        // the streaming rows (q74, q92) drive checkpointed stateful
+        // pipelines whose per-run cost is micro-batch machinery, not
+        // engine dataflow (r4 verdict item 7): one timed run per window —
+        // the documented exemption from median-of-N; cross-window min
+        // still guards them.
+        val runs =
+          if (name == "q74_streaming_neardup" || name == "q92_streaming_budget_join") 1
+          else runsPer
         val times = (1 to runs).flatMap { _ =>
           val t0 = System.nanoTime()
           try {

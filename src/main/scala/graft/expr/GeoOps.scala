@@ -112,19 +112,23 @@ object GeoOps {
   /** Polygon flattened to ARRAY<DOUBLE> [x0,y0,x1,y1,...] — the
     * zero-allocation probe form (primitive getDouble, no struct views).
     * Exterior shells only, like the reference's rendering
-    * (plot_courses.py:184-186 uses `.exterior`); a MULTI-PIECE polygon
-    * (disjoint pieces, the engine's only multi-ring meaning) flattens
-    * ALL piece shells separated by one (NaN, NaN) pair — the single-ring
-    * output is byte-identical to the pre-r5 form, so every single-piece
-    * plan and oracle is untouched. */
+    * (plot_courses.py:184-186 uses `.exterior`). A MULTI-PIECE polygon
+    * (disjoint pieces, the engine's only multi-ring meaning) flattens as
+    * one LEADING (NaN,NaN) marker pair, then all piece shells separated
+    * by one (NaN,NaN) pair each — the single-ring output is
+    * byte-identical to the pre-r5 form AND lets the contains kernels
+    * dispatch on element 0 alone, keeping the dominant single-piece
+    * probe path at its original cost (no per-vertex NaN check). */
   def flattenShell(poly: ArrayData): ArrayData = {
     val nr = poly.numElements()
     if (nr == 0) return new GenericArrayData(Array.empty[Double])
     var total = 0
     var r = 0
     while (r < nr) { total += poly.getArray(r).numElements(); r += 1 }
-    val out = new Array[Double](2 * total + 2 * (nr - 1))
+    val head = if (nr > 1) 2 else 0
+    val out = new Array[Double](2 * total + 2 * (nr - 1) + head)
     var o = 0
+    if (nr > 1) { out(0) = Double.NaN; out(1) = Double.NaN; o = 2 }
     r = 0
     while (r < nr) {
       if (r > 0) { out(o) = Double.NaN; out(o + 1) = Double.NaN; o += 2 }
@@ -151,18 +155,49 @@ object GeoOps {
     * arithmetic and outcome are exactly the pre-r5 kernel's. */
   def stContainsFlat(flat: ArrayData, px: Double, py: Double): Boolean = {
     val total = flat.numElements() / 2
+    if (total == 0) return false
+    // dispatch on the multi-piece marker (leading NaN pair): the dominant
+    // single-piece path is the EXACT pre-r5 loop — no per-vertex NaN
+    // check on the flagship refine hot path
+    if (!java.lang.Double.isNaN(flat.getDouble(0))) {
+      val n = total
+      if (n < 3) return false
+      var inside = false
+      var xj = flat.getDouble(2 * (n - 1)); var yj = flat.getDouble(2 * (n - 1) + 1)
+      var i = 0
+      while (i < n) {
+        val xi = flat.getDouble(2 * i); val yi = flat.getDouble(2 * i + 1)
+        val cross = (xi - xj) * (py - yj) - (yi - yj) * (px - xj)
+        if (cross == 0.0 &&
+            px >= Math.min(xj, xi) && px <= Math.max(xj, xi) &&
+            py >= Math.min(yj, yi) && py <= Math.max(yj, yi)) return false // on edge
+        if ((yi > py) != (yj > py)) {
+          val xCross = (xj - xi) * (py - yi) / (yj - yi) + xi
+          if (px < xCross) inside = !inside
+        }
+        xj = xi; yj = yi
+        i += 1
+      }
+      return inside
+    }
+    // multi-piece: fused forward walk per piece — segments
+    // (v0,v1)..(v_{n-2},v_{n-1}) then the wrap (v_{n-1},v0), the exact
+    // segment set and arithmetic of the classic prev/cur loop
     var inside = false
-    var start = 0
-    while (start < total) {
-      var end = start
-      while (end < total && !java.lang.Double.isNaN(flat.getDouble(2 * end))) end += 1
-      val n = end - start
-      if (n >= 3) {
-        var pieceInside = false
-        var xj = flat.getDouble(2 * (end - 1)); var yj = flat.getDouble(2 * (end - 1) + 1)
-        var i = start
-        while (i < end) {
-          val xi = flat.getDouble(2 * i); val yi = flat.getDouble(2 * i + 1)
+    var i = 1 // skip the marker pair
+    while (i < total) {
+      val firstX = flat.getDouble(2 * i); val firstY = flat.getDouble(2 * i + 1)
+      var xj = firstX; var yj = firstY
+      var pieceInside = false
+      var cnt = 1
+      i += 1
+      var xi = 0.0; var yi = 0.0
+      var run = true
+      while (run && i < total) {
+        xi = flat.getDouble(2 * i)
+        if (java.lang.Double.isNaN(xi)) run = false
+        else {
+          yi = flat.getDouble(2 * i + 1)
           val cross = (xi - xj) * (py - yj) - (yi - yj) * (px - xj)
           if (cross == 0.0 &&
               px >= Math.min(xj, xi) && px <= Math.max(xj, xi) &&
@@ -172,11 +207,23 @@ object GeoOps {
             if (px < xCross) pieceInside = !pieceInside
           }
           xj = xi; yj = yi
+          cnt += 1
           i += 1
+        }
+      }
+      if (cnt >= 3) {
+        // wrap segment back to the piece's first vertex
+        val cross = (firstX - xj) * (py - yj) - (firstY - yj) * (px - xj)
+        if (cross == 0.0 &&
+            px >= Math.min(xj, firstX) && px <= Math.max(xj, firstX) &&
+            py >= Math.min(yj, firstY) && py <= Math.max(yj, firstY)) return false
+        if ((firstY > py) != (yj > py)) {
+          val xCross = (xj - firstX) * (py - firstY) / (yj - firstY) + firstX
+          if (px < xCross) pieceInside = !pieceInside
         }
         if (pieceInside) inside = true
       }
-      start = end + 1
+      i += 1 // skip the NaN separator (or step past the end)
     }
     inside
   }

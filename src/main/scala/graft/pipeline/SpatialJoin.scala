@@ -257,13 +257,16 @@ object SpatialJoin {
       val rings = r.getAs[scala.collection.Seq[scala.collection.Seq[org.apache.spark.sql.Row]]](3)
       rings(ringIdx).iterator.flatMap(p => Iterator(p.getDouble(0), p.getDouble(1))).toArray
     }
-    // all piece shells, (NaN,NaN)-separated — the same multi-piece flat
-    // encoding as GeoOps.flattenShell, so this probe path and the
-    // expression path stay bit-identical on any polygon
+    // all piece shells in GeoOps.flattenShell's encoding (leading
+    // (NaN,NaN) marker + (NaN,NaN)-separated pieces when multi; bare ring
+    // when single), so this probe path and the expression path stay
+    // bit-identical on any polygon
     val shells: Array[Array[Double]] = feats.map { r =>
       val nr = r.getAs[scala.collection.Seq[Any]](3).length
-      (0 until nr).map(ringFlat(r, _))
-        .reduceLeft((a, b) => a ++ Array(Double.NaN, Double.NaN) ++ b)
+      if (nr == 1) ringFlat(r, 0)
+      else (0 until nr).map(ringFlat(r, _))
+        .foldLeft(Array(Double.NaN, Double.NaN))((a, b) =>
+          if (a.length == 2) a ++ b else a ++ Array(Double.NaN, Double.NaN) ++ b)
     }
     val entries = feats.iterator.zipWithIndex.flatMap { case (r, fid) =>
       val poly = (0 until r.getAs[scala.collection.Seq[Any]](3).length)

@@ -9,7 +9,7 @@ import graft.geom.Geom
 
 /**
  * Multi-piece boundaries through the flagship join path (r4 verdict
- * stretch item): the (NaN,NaN)-separated flat encoding, the piece-aware
+ * stretch item): the marker+(NaN,NaN)-separated flat encoding, the piece-aware
  * contains kernels, boundariesMulti vs its pure-JVM replica, and the
  * archipelago fixture actually exercising BOTH pieces.
  */
@@ -20,7 +20,10 @@ class MultiPieceSpec extends AnyFunSuite {
   // two far-apart unit squares as one multi-piece flat (closed rings)
   private val sqA = Array(0.0, 0.0, 1.0, 0.0, 1.0, 1.0, 0.0, 1.0, 0.0, 0.0)
   private val sqB = Array(5.0, 0.0, 6.0, 0.0, 6.0, 1.0, 5.0, 1.0, 5.0, 0.0)
-  private val multi = sqA ++ Array(Double.NaN, Double.NaN) ++ sqB
+  // leading (NaN,NaN) marker pair + (NaN,NaN)-separated pieces — the
+  // GeoOps.flattenShell multi encoding
+  private val multi =
+    Array(Double.NaN, Double.NaN) ++ sqA ++ Array(Double.NaN, Double.NaN) ++ sqB
 
   test("piece-aware flat contains: inside either piece, on any piece's edge -> out") {
     assert(Geom.containsFlatShell(multi, 0.5, 0.5))   // inside piece A
@@ -53,8 +56,9 @@ class MultiPieceSpec extends AnyFunSuite {
         |      struct(6.0D AS x, 1.0D AS y), struct(5.0D AS x, 1.0D AS y),
         |      struct(5.0D AS x, 0.0D AS y)))""".stripMargin).as("poly"))
     val flat = polyDf.select(graft.functions.flatten_shell($"poly")).as[Seq[Double]].collect()(0)
-    assert(flat.length === 22)
-    assert(flat(10).isNaN && flat(11).isNaN)
+    assert(flat.length === 24)
+    assert(flat(0).isNaN && flat(1).isNaN)   // multi marker
+    assert(flat(12).isNaN && flat(13).isNaN) // piece separator
     val probes = Seq((0.5, 0.5), (5.5, 0.5), (3.0, 0.5), (1.0, 0.5), (5.9, 0.9))
     probes.foreach { case (x, y) =>
       val r = polyDf.select(
