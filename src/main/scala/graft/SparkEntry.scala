@@ -39,6 +39,12 @@ object SparkEntry {
     * sees; interpolated into both sides. */
   private val Q87Boundary = 250L
 
+  /** q95's PNG fill color — ONE constant (from the S2-parsed catalog, so
+    * it rides the same colors.xml path as F10) interpolated into both the
+    * Spark plan and the DuckDB oracle's scanline bytes. */
+  private lazy val Q95Rgb: Int =
+    Integer.parseInt(Catalog.colors("water_blue").stripPrefix("#"), 16)
+
   /** q91's vocab cap — deliberately BELOW the fixture's distinct-token
     * count (31 at both sf0.001 and sf0.01) so the UNK=0 encoding path is
     * exercised in the graded blobs, not just in specs; interpolated into
@@ -1352,6 +1358,34 @@ object SparkEntry {
           CourseEngine.boundariesMulti(Courses.itemsDfWithIslands(s, NCourses))))
       SpatialJoin.assignPages(pages(s, d), SpatialJoin.coverDf(bM), bM)
         .select(col("url"), col("clubId"), col("courseId"), col("holeNumber"))
+    }),
+
+    "q95_tile_png" -> ((s, d) => {
+      // The raster ARTIFACT sink (r4 VERDICT missing-item 2): one real
+      // RGBA PNG per (hole, z17 tile) — opaque pixels are the tile's 8x8
+      // covered samples (q46's oracled mask bits), fully transparent
+      // elsewhere, the reference's `savefig(..., transparent=True)`
+      // analog (plot_courses.py:309-316) in the bounded-size slippy-tile
+      // form a map stack serves at 100 TB (fixed 332 bytes/artifact, no
+      // per-hole unbounded raster). Fill RGB is a sink parameter (the
+      // reference fills with texture images; pixel-texture parity is out
+      // of scope per SURVEY §1.2) — q95 uses the catalog's water_blue so
+      // the color rides the S2 XML path. The file bytes are graded
+      // END-TO-END: STORED-deflate PNG encoding is deterministic, so the
+      // DuckDB oracle rebuilds every byte (CRC-32 table generated in SQL
+      // from the polynomial, Adler-32/CRC-32 as list folds) from its own
+      // independently ray-cast masks, and both sides md5 the shared hex.
+      graft.functions.registerAll(s)
+      CourseEngine.tileMasks(boundsDf(s), zoom = 17)
+        .select(col("clubId"), col("courseId"), col("holeNumber"),
+          col("z"), col("x"), col("y"),
+          gf.png_encode(
+            expr("transform(sequence(0, 63), b -> (shiftright(mask, b) & 1) = 1)"),
+            lit(8), lit(Q95Rgb)).as("png"))
+        .select(col("clubId"), col("courseId"), col("holeNumber"),
+          col("z"), col("x"), col("y"),
+          length(col("png")).as("n_bytes"),
+          md5(hex(col("png"))).as("png_md5"))
     }),
 
     "q43_clip_join" -> ((s, d) => {
@@ -3434,6 +3468,63 @@ object SparkEntry {
     // whole rasterize pipeline cross-checked by an independent ray caster
     "q46_tile_masks" -> ("WITH " + tileMaskedCtes + "\n" +
       "SELECT clubId, courseId, holeNumber, z, x, y, qk, mask, coverage FROM masked"),
+
+    // full PNG-file byte replay: every byte of each 332-byte artifact is a
+    // pure function of the (independently ray-cast) mask bits — raw RGBA
+    // scanlines, one STORED deflate block, Adler-32 and CRC-32 as list
+    // folds with the CRC table generated IN SQL from poly 0xEDB88320.
+    // Unsigned bit tests go through HUGEINT (CLAUDE.md hash-replay rules);
+    // md5 over the shared uppercase hex (the q51 pattern).
+    "q95_tile_png" -> {
+      val (r, g, b) = ((Q95Rgb >> 16) & 255, (Q95Rgb >> 8) & 255, Q95Rgb & 255)
+      "WITH " + tileMaskedCtes + s""",
+        |crctab AS (
+        |  SELECT list(ent ORDER BY n) AS tab FROM (
+        |    SELECT n, list_reduce(list_prepend(CAST(n AS BIGINT), [0,0,0,0,0,0,0,0]),
+        |      (c, kk) -> CASE WHEN c & 1 = 1 THEN xor(3988292384, c >> 1) ELSE c >> 1 END) AS ent
+        |    FROM unnest(generate_series(0, 255)) AS tt(n))),
+        |ihdrc AS (
+        |  SELECT xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT),
+        |      [CAST(73 AS BIGINT),72,68,82,0,0,0,8,0,0,0,8,8,6,0,0,0]),
+        |    (c, bb) -> xor(tab[CAST(xor(c, bb) & 255 AS INT) + 1], c >> 8)), 4294967295) AS hcrc
+        |  FROM crctab),
+        |pxu AS (
+        |  SELECT clubId, courseId, holeNumber, z, x, y, CASE WHEN mask < 0
+        |    THEN CAST(mask AS HUGEINT) + CAST('18446744073709551616' AS HUGEINT)
+        |    ELSE CAST(mask AS HUGEINT) END AS mh FROM masked),
+        |rawsc AS (
+        |  SELECT clubId, courseId, holeNumber, z, x, y,
+        |    flatten(list_transform(generate_series(0, 7), i ->
+        |      list_prepend(CAST(0 AS BIGINT), flatten(list_transform(generate_series(0, 7), j ->
+        |        CASE WHEN (mh & (CAST(1 AS HUGEINT) << CAST(i * 8 + j AS INT))) != 0
+        |          THEN [CAST($r AS BIGINT), $g, $b, 255]
+        |          ELSE [CAST(0 AS BIGINT), 0, 0, 0] END))))) AS rawb
+        |  FROM pxu),
+        |idatb AS (
+        |  SELECT clubId, courseId, holeNumber, z, x, y,
+        |    [CAST(73 AS BIGINT), 68, 65, 84, 120, 1, 1, 8, 1, 247, 254] || rawb ||
+        |    [ab[2] // 256, ab[2] % 256, ab[1] // 256, ab[1] % 256] AS ibytes
+        |  FROM (SELECT *, list_reduce(list_prepend([CAST(1 AS BIGINT), CAST(0 AS BIGINT)],
+        |      list_transform(rawb, bb -> [bb, CAST(0 AS BIGINT)])),
+        |      (acc, e) -> [(acc[1] + e[1]) % 65521, (acc[2] + acc[1] + e[1]) % 65521]) AS ab
+        |    FROM rawsc)),
+        |pngb AS (
+        |  SELECT clubId, courseId, holeNumber, z, x, y,
+        |    [CAST(137 AS BIGINT), 80, 78, 71, 13, 10, 26, 10, 0, 0, 0, 13,
+        |     73, 72, 68, 82, 0, 0, 0, 8, 0, 0, 0, 8, 8, 6, 0, 0, 0] ||
+        |    [hcrc // 16777216 % 256, hcrc // 65536 % 256, hcrc // 256 % 256, hcrc % 256] ||
+        |    [CAST(0 AS BIGINT), 0, 1, 19] || ibytes ||
+        |    [icrc // 16777216 % 256, icrc // 65536 % 256, icrc // 256 % 256, icrc % 256] ||
+        |    [CAST(0 AS BIGINT), 0, 0, 0, 73, 69, 78, 68, 174, 66, 96, 130] AS pbytes
+        |  FROM (SELECT *, xor(list_reduce(list_prepend(CAST(4294967295 AS BIGINT), ibytes),
+        |      (c, bb) -> xor(tab[CAST(xor(c, bb) & 255 AS INT) + 1], c >> 8)), 4294967295) AS icrc
+        |    FROM idatb, crctab), ihdrc)
+        |SELECT clubId, courseId, holeNumber, z, x, y,
+        |  CAST(len(pbytes) AS INT) AS n_bytes,
+        |  md5(list_reduce(list_transform(pbytes, bb -> lpad(hex(bb), 2, '0')),
+        |    (a, s) -> a || s)) AS png_md5
+        |FROM pngb""".stripMargin
+    },
 
     // pyramid re-derived from the same independent ray-cast masks:
     // parent = integer shift, counts + exact dyadic coverage sums

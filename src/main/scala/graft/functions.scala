@@ -58,6 +58,10 @@ object functions {
   def cover_cells(poly: Column, minLevel: Column, maxLevel: Column): Column =
     toCol(CoverCells(toExpr(poly), toExpr(minLevel), toExpr(maxLevel)))
 
+  // ---- raster artifact sink (reference plot_courses.py:309-316) ----
+  def png_encode(pixels: Column, width: Column, rgb: Column): Column =
+    toCol(PngEncode(toExpr(pixels), toExpr(width), toExpr(rgb)))
+
   // ---- text / dedup / embeddings (training-data pipeline operators) ----
   def hash_text(s: Column): Column = toCol(HashText(toExpr(s)))
   def mix64(z: Column): Column = toCol(Mix64(toExpr(z)))
@@ -98,6 +102,7 @@ object functions {
     "make_polygon" -> ((e => MakePolygon(e.head)): Builder),
     "st_contains" -> ((e => StContains(e(0), e(1), e(2))): Builder),
     "st_covers" -> ((e => StCovers(e(0), e(1), e(2))): Builder),
+    "png_encode" -> ((e => PngEncode(e(0), e(1), e(2))): Builder),
     "flatten_shell" -> ((e => FlattenShell(e.head)): Builder),
     "st_contains_flat" -> ((e => StContainsFlat(e(0), e(1), e(2))): Builder),
     "st_distance_to_shell_m" -> ((e => StDistanceToShellM(e(0), e(1), e(2))): Builder),
