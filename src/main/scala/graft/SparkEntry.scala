@@ -1388,6 +1388,29 @@ object SparkEntry {
           md5(hex(col("png"))).as("png_md5"))
     }),
 
+    "q96_components_star" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // large-star/small-star connected components (Dedup
+      // .connectedComponentsStar) on a HIGH-DIAMETER graph — the regime
+      // where q78's min-label propagation is the wrong plan (one shuffle
+      // round per hop; its 20-round guard throws here). The edge set is
+      // derived from doc ids alone so both engines define it identically:
+      // seven stride-7 chains over the dense id space (diameter ~ n/7,
+      // ~71 at sf0.01) plus a bridge (i, i+3) at every i % 101 == 0,
+      // which welds six of the seven chains into one snaking component
+      // hundreds of hops across. Star contraction closes it in <= 8
+      // rounds; the oracle closes the same graph with a recursive CTE.
+      val ids = t(s, d, "documents").select(col("doc_id"))
+      val chain = ids.as("a").join(ids.as("b"), col("b.doc_id") === col("a.doc_id") + 7)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val bridge = ids.as("a").filter(col("doc_id") % 101 === 0)
+        .join(ids.as("b"), col("b.doc_id") === col("a.doc_id") + 3)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      graft.pipeline.Dedup.connectedComponentsStar(chain.unionByName(bridge))
+        .select(col("doc_id"), col("component"),
+          (col("doc_id") === col("component")).as("kept"))
+    }),
+
     "q43_clip_join" -> ((s, d) => {
       // clip_area is quantized to a fixed 1e-10 deg^2 grid (~1 m^2 — 4-5
       // significant digits at these hole sizes) and sub-quantum rows are
@@ -3051,6 +3074,24 @@ object SparkEntry {
          |SELECT CAST(a AS BIGINT) AS doc_id, CAST(min(b) AS BIGINT) AS component,
          |  (a = min(b)) AS kept
          |FROM r GROUP BY a""".stripMargin,
+
+    // high-diameter star-contraction components: the identical id-derived
+    // edge set (stride-7 chains + %101 bridges) closed by a recursive CTE
+    "q96_components_star" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v FROM documents a
+        |    JOIN documents b ON b.doc_id = a.doc_id + 7
+        |  UNION ALL
+        |  SELECT a.doc_id, b.doc_id FROM documents a
+        |    JOIN documents b ON b.doc_id = a.doc_id + 3
+        |  WHERE a.doc_id % 101 = 0),
+        |sym AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+        |r(a, b) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM sym)
+        |  UNION
+        |  SELECT s.u, r.b FROM sym s JOIN r ON s.v = r.a)
+        |SELECT a AS doc_id, min(b) AS component, (a = min(b)) AS kept
+        |FROM r GROUP BY a""".stripMargin,
 
     // the same closure, then the split bucket = SIGNED pmod replay of
     // mix64(component) (pmod of a negative long is NOT unsigned mod 100)

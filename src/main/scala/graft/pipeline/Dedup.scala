@@ -122,6 +122,78 @@ object Dedup {
   }
 
   /**
+   * Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+   * (the two-phase star-contraction scheme of Kiveris et al., "Connected
+   * Components in MapReduce and Beyond", SoCC'14) — the scale path for
+   * HIGH-DIAMETER graphs, where [[connectedComponents]]'s min-label
+   * propagation needs one round per hop (a 10^6-hop chain in a 100-TB
+   * pair graph would mean 10^6 shuffles; star contraction converges in
+   * O(log^2 n) rounds — single digits in practice, diameter-independent).
+   *
+   * Each round is pure relational algebra, no collect_list (so a
+   * high-degree node never materializes its neighborhood in one task):
+   *   large-star: m(u) = min(N(u) ∪ {u}); every neighbor v > u re-links
+   *     to m(u);
+   *   small-star: every neighbor v < u, and u itself, re-links to m(u).
+   * Edges stay canonical (lo < hi) + distinct per round, so the edge set
+   * monotonically contracts toward per-component stars rooted at the
+   * component minimum. Convergence = the canonical edge set reaches a
+   * fixed point, detected by (count, bit_xor of a mix64 edge hash) —
+   * order-independent, ANSI-overflow-safe, and deterministic; the
+   * (astronomically unlikely) checksum collision is guarded by the
+   * equivalence spec vs the propagation form.
+   *
+   * Output shape matches [[connectedComponents]]: one row per vertex of
+   * the pair graph, (doc_id, component = component min).
+   */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25,
+                              maxLocalRows: Int = 1 << 20): DataFrame = {
+    def canon(e: DataFrame): DataFrame = e
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    def sym(e: DataFrame): DataFrame =
+      e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+    // m(center) = min over the closed neighborhood
+    def mins(s: DataFrame): DataFrame = s
+      .groupBy(col("u").as("c")).agg(min(col("v")).as("mn"))
+      .select(col("c"), least(col("c"), col("mn")).as("m"))
+    def checksum(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(bit_xor(gf.mix64(gf.mix64(col("u")).bitwiseXOR(col("v")))), lit(0L)))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var edges = graft.sources.Storage.localizeOrCheckpoint(
+      canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))), maxLocalRows)
+    var chk = checksum(edges)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val s1 = sym(edges)
+      val large = canon(s1.filter(col("v") > col("u"))
+        .join(mins(s1), col("u") === col("c"))
+        .select(col("v").as("u"), col("m").as("v")))
+      val s2 = sym(large)
+      val small = canon(
+        s2.filter(col("v") < col("u")).join(mins(s2), col("u") === col("c"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .unionByName(mins(s2).select(col("c").as("u"), col("m").as("v"))))
+      edges = graft.sources.Storage.localizeOrCheckpoint(small, maxLocalRows)
+      val next = checksum(edges)
+      converged = next == chk
+      chk = next
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixed point = disjoint stars rooted at each component's min: a
+    // non-root's sole neighbor is its root; a root keeps itself
+    sym(edges).groupBy(col("u").as("doc_id"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("doc_id"), least(col("doc_id"), col("mn")).as("component"))
+  }
+
+  /**
    * Leakage-safe train/val/test split (q86): assignment is a hash of the
    * near-dup COMPONENT id, not the doc id — near-duplicates can never
    * straddle the train/eval boundary (the contamination a doc-keyed

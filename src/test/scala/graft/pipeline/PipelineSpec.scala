@@ -205,6 +205,43 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("star-contraction components == union-find; converges where propagation's guard trips") {
+    def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (x, y) =>
+        val rx = find(x); val ry = find(y)
+        if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+      }
+      edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
+    }
+    def engine(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] =
+      Dedup.connectedComponentsStar(edges.toDF("doc_a", "doc_b"), maxIter = maxIter)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rnd = new scala.util.Random(11)
+    for (_ <- 0 until 4) {
+      val edges = Seq.fill(60)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      assert(engine(edges) == brute(edges))
+    }
+    // a 120-node chain: diameter 119 — min-label propagation THROWS at its
+    // default 20-round guard; star contraction closes it in O(log^2 n)
+    // rounds (the maxIter = 12 below pins "single digits in practice")
+    val chain = (0L until 119L).map(i => (i, i + 1))
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"))
+    }
+    val got = engine(chain, maxIter = 12)
+    assert(got.size == 120 && got.values.toSet == Set(0L))
+    // isolated self-consistency: two disjoint stars stay disjoint
+    val two = Seq((5L, 9L), (5L, 7L), (100L, 200L))
+    assert(engine(two) == brute(two))
+  }
+
   test("leakage-safe split: connected docs share a split; singletons covered; slices sane") {
     val docs = (0L until 500L).toDF("doc_id")
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 20L), (20L, 30L), (400L, 401L))
