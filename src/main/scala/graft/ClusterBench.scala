@@ -30,9 +30,26 @@ object ClusterBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.registerAll(spark)
-    // block-manager census: driver + one entry per live executor JVM
+    // local-cluster executors register ASYNCHRONOUSLY after the context
+    // comes up; sampling defaultParallelism (or launching the warmup)
+    // before they join would partition the whole run for the driver's
+    // cores only — wait for the master-string executor count to appear
+    // in the block-manager census (driver + one entry per executor JVM)
+    val masterSpec = "local-cluster\\[\\s*(\\d+)\\s*,\\s*(\\d+)\\s*,.*".r
+    val expected = spark.sparkContext.master match {
+      case masterSpec(e, c) => Some((e.toInt, c.toInt))
+      case _                => None
+    }
+    expected.foreach { case (e, _) =>
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (spark.sparkContext.getExecutorMemoryStatus.size - 1 < e &&
+             System.nanoTime() < deadline) Thread.sleep(200)
+    }
     val execs = spark.sparkContext.getExecutorMemoryStatus.size - 1
-    val cores = spark.sparkContext.defaultParallelism
+    val cores = expected.map { case (e, c) => e * c }
+      .getOrElse(spark.sparkContext.defaultParallelism)
+    require(expected.forall { case (e, _) => execs >= e },
+      s"only $execs of ${expected.get._1} executors registered within 120s")
     // warmup (JIT the generated code once; same plan constants)
     Bench.flagship(spark, sfDir, amplify, parts = cores * 4)
     var bestJoin = Double.MaxValue; var bestTile = Double.MaxValue

@@ -622,6 +622,34 @@ object SparkEntry {
       est.crossJoin(hosts.agg(countDistinct(col("k")).as("exact_distinct")))
     }),
 
+    "q97_hll_merge" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // HLL MERGEABILITY driver-certified: rows sharded 4 ways by URL
+      // hash (so the same host deliberately lands in multiple shards),
+      // one sketch per shard, union = register-wise max (Sketch
+      // .hllMerge). The merged sketch must be IDENTICAL to the sketch
+      // built directly over all rows — graded as n_register_mismatch = 0
+      // on every row: the distributive-aggregate property that lets 1000
+      // executors each hold O(m) state over their slice of 100 TB and
+      // combine in any reduce tree with no re-read. grp = -1 is the
+      // merged row; its estimate is the global q83 estimate.
+      import graft.pipeline.Sketch
+      val hosts = pages(s, d).select(col("url"),
+        regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("k"))
+      val regsBy = Sketch.hllRegistersBy(hosts,
+        pmod(gf.hash_text(col("url")), lit(4L)), col("k"))
+      val mergedRegs = Sketch.hllMerge(regsBy)
+      val direct = Sketch.hllRegisters(hosts.select(col("k")), col("k"))
+      val mis = mergedRegs.select(col("idx"), col("m").as("ma"))
+        .join(direct.select(col("idx"), col("m").as("mb")), Seq("idx"), "full")
+        .select(when(coalesce(col("ma"), lit(0)) === coalesce(col("mb"), lit(0)), 0L)
+          .otherwise(1L).as("bad"))
+        .agg(coalesce(sum(col("bad")), lit(0L)).as("n_register_mismatch"))
+      val all = regsBy.unionByName(
+        mergedRegs.withColumn("grp", lit(-1L)).select(col("grp"), col("idx"), col("m")))
+      Sketch.hllEstimateBy(all).crossJoin(mis)
+    }),
+
     "q79_trigram_fluency" -> ((s, d) => {
       // per-doc fluency/quality: best-language mean trigram log-prob
       // (near the unseen floor = gibberish) + the predicted language —
@@ -2641,6 +2669,43 @@ object SparkEntry {
       |  END AS hll_corrected,
       |  CAST(occupied AS BIGINT) AS occupied,
       |  (SELECT count(DISTINCT k) FROM hosts) AS exact_distinct
+      |FROM agg""".stripMargin),
+
+    // sketch-merge replay: per-shard registers, register-wise max union,
+    // identity vs the direct sketch as a graded count, then q83's exact
+    // estimate arithmetic per (shard ∪ merged) row
+    "q97_hll_merge" -> (pagesCte + s""",
+      |hosts AS (SELECT url, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS k FROM pages),
+      |hh AS (SELECT CAST(${fnvSql("url")} % 4 AS BIGINT) AS grp, ${fnvSql("k")} AS h FROM hosts),
+      |rr AS (SELECT grp,
+      |    CAST(h // 288230376151711744 AS BIGINT) AS idx,
+      |    CASE WHEN (h * 64) % $Wrap64 = 0 THEN ${graft.pipeline.Sketch.HllMaxRank}
+      |         ELSE CAST(65 - length(bin((h * 64) % $Wrap64)) AS INT) END AS rank
+      |  FROM hh),
+      |regsby AS (SELECT grp, idx, max(rank) AS m FROM rr GROUP BY grp, idx),
+      |merged AS (SELECT CAST(-1 AS BIGINT) AS grp, idx, max(m) AS m FROM regsby GROUP BY idx),
+      |direct AS (SELECT idx, max(rank) AS m FROM rr GROUP BY idx),
+      |mis AS (SELECT CAST(coalesce(sum(
+      |    CASE WHEN coalesce(a.m, 0) = coalesce(b.m, 0) THEN 0 ELSE 1 END), 0) AS BIGINT)
+      |    AS n_register_mismatch
+      |  FROM merged a FULL JOIN direct b USING (idx)),
+      |allregs AS (SELECT * FROM regsby UNION ALL SELECT * FROM merged),
+      |grid AS (SELECT g.grp, t.range AS idx
+      |  FROM (SELECT DISTINCT grp FROM allregs) g, range(0, ${graft.pipeline.Sketch.HllM}) t),
+      |jm AS (SELECT grid.grp, coalesce(ar.m, 0) AS m
+      |  FROM grid LEFT JOIN allregs ar ON ar.grp = grid.grp AND ar.idx = grid.idx),
+      |agg AS (SELECT grp,
+      |    sum(CAST(CAST(1 AS BIGINT) << (${graft.pipeline.Sketch.HllMaxRank} - m) AS HUGEINT)) AS num,
+      |    sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS occupied FROM jm GROUP BY grp)
+      |SELECT grp,
+      |  ${dlit(graft.pipeline.Sketch.HllNumeratorScale)} / CAST(num AS DOUBLE) AS hll_estimate,
+      |  CASE WHEN ${dlit(graft.pipeline.Sketch.HllNumeratorScale)} / CAST(num AS DOUBLE)
+      |         <= ${dlit(2.5 * graft.pipeline.Sketch.HllM)} AND (64 - occupied) > 0
+      |       THEN round(64.0 * ln(64.0 / CAST(64 - occupied AS DOUBLE)), 6)
+      |       ELSE round(${dlit(graft.pipeline.Sketch.HllNumeratorScale)} / CAST(num AS DOUBLE), 6)
+      |  END AS hll_corrected,
+      |  CAST(occupied AS BIGINT) AS occupied,
+      |  (SELECT n_register_mismatch FROM mis) AS n_register_mismatch
       |FROM agg""".stripMargin),
 
     // the same canonicalization chain generated from Urls' constants

@@ -78,6 +78,52 @@ object Sketch {
   }
 
   /**
+   * Per-group HLL registers (q97): [[hllRegisters]] keyed by `grp` — the
+   * partition-local sketch each of 1000 executors would hold over its
+   * slice of 100 TB. One groupBy, ≤ m rows per group.
+   */
+  def hllRegistersBy(df: DataFrame, grp: Column, key: Column): DataFrame = {
+    val h = gf.hash_text(key)
+    val w = shiftleft(h, HllP)
+    val rank = when(w === 0L, lit(HllMaxRank))
+      .otherwise(gf.leading_zeros(w) + lit(1))
+    df.select(grp.as("grp"), shiftrightunsigned(h, 64 - HllP).as("idx"), rank.as("rank"))
+      .groupBy(col("grp"), col("idx")).agg(max(col("rank")).as("m"))
+  }
+
+  /**
+   * Sketch UNION (q97): register-wise max over per-group sketches — the
+   * mergeability that makes HLL a distributive aggregate (commutative,
+   * associative, idempotent), so partial sketches combine in any tree
+   * shape with a bounded O(m) reduce and NO re-read of the inputs.
+   * max(max) == max ⇒ merged registers are IDENTICAL to the sketch built
+   * directly on the union — asserted as a graded column in q97.
+   */
+  def hllMerge(regsBy: DataFrame): DataFrame =
+    regsBy.groupBy(col("idx")).agg(max(col("m")).as("m"))
+
+  /** Per-group estimates: [[hllEstimate]]'s exact arithmetic, one row per
+    * group (each group left-joined against the full m-register grid). */
+  def hllEstimateBy(regs: DataFrame): DataFrame = {
+    val spark = regs.sparkSession
+    val grid = regs.select(col("grp")).distinct()
+      .crossJoin(spark.range(0, HllM).select(col("id").cast("long").as("idx")))
+    val full = grid.join(regs, Seq("grp", "idx"), "left")
+      .select(col("grp"), coalesce(col("m"), lit(0)).as("m"))
+    val raw = lit(HllNumeratorScale) / col("num").cast("double")
+    val empties = lit(HllM.toLong) - col("occupied")
+    val corrected = when(raw <= lit(2.5 * HllM) && empties > 0,
+        round(lit(HllM.toDouble) * log(lit(HllM.toDouble) / empties.cast("double")), 6))
+      .otherwise(round(raw, 6))
+    full.groupBy(col("grp")).agg(
+        sum(expr(s"shiftleft(1L, $HllMaxRank - m)")
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("num"),
+        sum(when(col("m") > 0, 1).otherwise(0)).cast("long").as("occupied"))
+      .select(col("grp"), raw.as("hll_estimate"), corrected.as("hll_corrected"),
+        col("occupied"))
+  }
+
+  /**
    * Raw HLL estimate (no small/large-range bias correction — documented
    * scope; the q83 output carries the exact distinct count alongside).
    * EXACT cross-engine arithmetic: the harmonic-mean denominator sum

@@ -52,4 +52,45 @@ class SketchSpec extends AnyFunSuite {
         s"linear-counting value for V=$v sits $dist quanta from a boundary")
     }
   }
+
+  test("HLL merge: register-wise max of ANY sharding == the direct sketch; any reduce tree") {
+    val rnd = new scala.util.Random(19)
+    val keys = (0 until 400).map(i => s"host-${rnd.nextInt(120)}.example")
+    // three different shardings — mergeability cannot depend on how rows
+    // were split (same key across shards included)
+    val df = keys.zipWithIndex.toDF("k", "i")
+    val shardings: Seq[org.apache.spark.sql.Column] = Seq(
+      ($"i" % 4).cast("long"),                          // round-robin rows
+      pmod(graft.functions.hash_text($"k"), lit(4L)),   // by key
+      when($"i" < 37, 0L).otherwise(1L))                // wildly unbalanced
+    val direct = Sketch.hllRegisters(df.select($"k"), $"k")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    for ((grp, si) <- shardings.zipWithIndex) {
+      val regsBy = Sketch.hllRegistersBy(df, grp, $"k")
+      val merged = Sketch.hllMerge(regsBy)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(merged == direct, s"sharding $si broke mergeability")
+      // associativity: merge the per-shard sketches PAIRWISE first, then
+      // merge the partial merges — same registers (any reduce tree works)
+      val shards = regsBy.select($"grp").distinct().collect().map(_.getLong(0))
+      val (ga, gb) = shards.partition(_ % 2 == 0)
+      def partial(g: Seq[Long]) = Sketch.hllMerge(
+        regsBy.filter($"grp".isInCollection(g))).withColumn("grp", lit(0L))
+      if (ga.nonEmpty && gb.nonEmpty) {
+        val tree = Sketch.hllMerge(
+          partial(ga.toSeq).unionByName(partial(gb.toSeq)))
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(tree == direct, s"sharding $si broke tree-merge associativity")
+      }
+    }
+    // estimates agree too: the merged row's estimate equals the direct one
+    val regsBy = Sketch.hllRegistersBy(df, ($"i" % 4).cast("long"), $"k")
+    val all = regsBy.unionByName(
+      Sketch.hllMerge(regsBy).withColumn("grp", lit(-1L)).select($"grp", $"idx", $"m"))
+    val byGrp = Sketch.hllEstimateBy(all).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val est = Sketch.hllEstimate(Sketch.hllRegisters(df.select($"k"), $"k"))
+      .collect()(0)
+    assert(byGrp(-1L) == ((est.getDouble(0), est.getDouble(1))))
+  }
 }

@@ -8,7 +8,11 @@ reports throughput at both sizes plus raw and ceiling-normalized scaling
 efficiency (the BENCH.md methodology: the pure-compute ceiling sample
 each invocation prints normalizes out shared-host turbo/contention).
 
-Usage: python3 tools/spark_submit_scaling.py [sfDir] [amplify] [repeats]
+Usage: python3 tools/spark_submit_scaling.py [sfDir] [amplify] [repeats] \
+         [execA] [execB] [coresPerExec]
+Default topology pair: 2x4 -> 8x4 (8 -> 32 cores; the 4N side saturates
+the 32-vCPU host — read the vs-ceiling numbers there). For a raw-
+efficiency reading clear of host saturation use 1 4 2 (2 -> 8 cores).
 Prerequisite: sbt -batch package (builds target/scala-2.13/*.jar).
 """
 import glob, json, subprocess, sys
@@ -36,9 +40,11 @@ def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     amplify = int(sys.argv[2]) if len(sys.argv) > 2 else 40000
     repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    # N = 2 executors x 4 cores, 4N = 8 executors x 4 cores (32 cores = the host)
-    a = run(2, 4, 4096, sf, amplify, repeats)
-    b = run(8, 4, 4096, sf, amplify, repeats)
+    exec_a = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    exec_b = int(sys.argv[5]) if len(sys.argv) > 5 else 8
+    cores = int(sys.argv[6]) if len(sys.argv) > 6 else 4
+    a = run(exec_a, cores, 4096, sf, amplify, repeats)
+    b = run(exec_b, cores, 4096, sf, amplify, repeats)
     ratio = (b["executors"] * 1.0) / a["executors"] if a["executors"] else 4.0
     join_eff = (b["join_pages_per_sec"] / a["join_pages_per_sec"]) / ratio
     tile_eff = (b["tile_pages_per_sec"] / a["tile_pages_per_sec"]) / ratio
