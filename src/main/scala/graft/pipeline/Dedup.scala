@@ -137,60 +137,122 @@ object Dedup {
    *   small-star: every neighbor v < u, and u itself, re-links to m(u).
    * Edges stay canonical (lo < hi) + distinct per round, so the edge set
    * monotonically contracts toward per-component stars rooted at the
-   * component minimum. Convergence = the canonical edge set reaches a
-   * fixed point, detected by (count, bit_xor of a mix64 edge hash) —
-   * order-independent, ANSI-overflow-safe, and deterministic; the
-   * (astronomically unlikely) checksum collision is guarded by the
-   * equivalence spec vs the propagation form.
+   * component minimum. Convergence: the canonical edge set is a fixed
+   * point exactly when it is a STAR FOREST (no root appears as a leaf, no
+   * leaf has two roots) — tested driver-side for free on the size-gate
+   * probe rows; the checkpointed big-graph path falls back to
+   * (count, bit_xor of a mix64 edge hash) stability, one extra round
+   * (order-independent, ANSI-overflow-safe; a checksum collision is
+   * guarded by the equivalence spec vs the propagation form).
    *
    * Output shape matches [[connectedComponents]]: one row per vertex of
    * the pair graph, (doc_id, component = component min).
    */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 25,
                               maxLocalRows: Int = 1 << 20): DataFrame = {
-    def canon(e: DataFrame): DataFrame = e
-      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
     def sym(e: DataFrame): DataFrame =
       e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
     // m(center) = min over the closed neighborhood
     def mins(s: DataFrame): DataFrame = s
       .groupBy(col("u").as("c")).agg(min(col("v")).as("mn"))
       .select(col("c"), least(col("c"), col("mn")).as("m"))
+    // large-star: every neighbor v > center re-links to m; since
+    // m <= center < v the emit is already canonical, and duplicates are
+    // tolerated (the following small-star's groupBy-min absorbs them —
+    // one distinct per round, not two)
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      s.filter(col("v") > col("u")).join(mins(s), col("u") === col("c"))
+        .select(col("m").as("u"), col("v"))
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      s.filter(col("v") < col("u")).join(mins(s), col("u") === col("c"))
+        .select(least(col("v"), col("m")).as("u"), greatest(col("v"), col("m")).as("v"))
+        .unionByName(mins(s).select(least(col("c"), col("m")).as("u"),
+          greatest(col("c"), col("m")).as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+    }
+    // One materialization per star phase: each phase's plan references its
+    // input from BOTH the filter side and the mins side (and sym doubles
+    // it again) — left unmaterialized, one round's tree re-evaluates the
+    // previous phase 4x (measured 17.6s for the q96 fixture at sf0.1).
+    // The size-gate probe already collects the rows, so convergence is
+    // detected driver-side from the SAME collect: the canonical edge set
+    // is a FIXED POINT exactly when it is a star forest — no (u, v)
+    // chains (roots never appear as leaves) and no leaf shared by two
+    // roots — which ends the loop the round convergence happens instead
+    // of one checksum-equality round later. The checkpointed big-graph
+    // fallback keeps checksum stability (one extra round).
+    def materialize(df: DataFrame): (DataFrame, Option[Array[org.apache.spark.sql.Row]]) = {
+      val spark = df.sparkSession
+      val probe = df.limit(maxLocalRows + 1).collect()
+      if (probe.length <= maxLocalRows)
+        (spark.createDataFrame(java.util.Arrays.asList(probe: _*), df.schema), Some(probe))
+      else (df.localCheckpoint(), None)
+    }
+    def isStarForest(rows: Array[org.apache.spark.sql.Row]): Boolean = {
+      val roots = new java.util.HashSet[Long](rows.length * 2)
+      val leaves = new java.util.HashSet[Long](rows.length * 2)
+      rows.forall { r =>
+        roots.add(r.getLong(0)); leaves.add(r.getLong(1))
+      } && { // every leaf unique AND no root is also a leaf
+        !rows.exists(r => leaves.contains(r.getLong(0)))
+      }
+    }
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)),
         coalesce(bit_xor(gf.mix64(gf.mix64(col("u")).bitwiseXOR(col("v")))), lit(0L)))
         .collect()(0)
       (r.getLong(0), r.getLong(1))
     }
-    var edges = graft.sources.Storage.localizeOrCheckpoint(
-      canon(pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))), maxLocalRows)
-    var chk = checksum(edges)
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIter) {
-      val s1 = sym(edges)
-      val large = canon(s1.filter(col("v") > col("u"))
-        .join(mins(s1), col("u") === col("c"))
-        .select(col("v").as("u"), col("m").as("v")))
-      val s2 = sym(large)
-      val small = canon(
-        s2.filter(col("v") < col("u")).join(mins(s2), col("u") === col("c"))
-          .select(col("v").as("u"), col("m").as("v"))
-          .unionByName(mins(s2).select(col("c").as("u"), col("m").as("v"))))
-      edges = graft.sources.Storage.localizeOrCheckpoint(small, maxLocalRows)
-      val next = checksum(edges)
-      converged = next == chk
-      chk = next
-      it += 1
+    var (edges, local0) = materialize(
+      pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
+          greatest(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
+    val spark = edges.sparkSession
+    // Fixture-scale loops (edge set fits the local gate) are MICRO-JOB
+    // LATENCY bound, not data bound: at 32 shuffle partitions with AQE,
+    // each tiny star phase pays per-stage replan barriers (measured
+    // 1.5-1.8s/round; ~0.6s with single-partition non-adaptive plans —
+    // the q96 fixture's 13 rounds drop 17.6s -> ~8s total). Scope
+    // the two confs to the loop (saved/restored — the q92 scoping
+    // pattern); an at-scale loop that takes the checkpoint path keeps
+    // the session's parallelism untouched.
+    val conf = spark.conf
+    val saved = Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
+      .map(k => k -> conf.get(k))
+    if (local0.isDefined) {
+      conf.set("spark.sql.shuffle.partitions", "1")
+      conf.set("spark.sql.adaptive.enabled", "false")
     }
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponentsStar did not converge in $maxIter rounds")
-    // fixed point = disjoint stars rooted at each component's min: a
-    // non-root's sole neighbor is its root; a root keeps itself
-    sym(edges).groupBy(col("u").as("doc_id"))
-      .agg(min(col("v")).as("mn"))
-      .select(col("doc_id"), least(col("doc_id"), col("mn")).as("component"))
+    try {
+      var chk = if (local0.isDefined) (0L, 0L) else checksum(edges)
+      var it = 0
+      var converged = local0.exists(isStarForest)
+      while (!converged && it < maxIter) {
+        val (large, _) = materialize(largeStar(edges))
+        val (small, localRows) = materialize(smallStar(large))
+        edges = small
+        localRows match {
+          case Some(rows) => converged = isStarForest(rows)
+          case None =>
+            val next = checksum(edges)
+            converged = next == chk
+            chk = next
+        }
+        it += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+      // fixed point = disjoint stars rooted at each component's min: a
+      // non-root's sole neighbor is its root; a root keeps itself
+      graft.sources.Storage.localizeOrCheckpoint(
+        sym(edges).groupBy(col("u").as("doc_id"))
+          .agg(min(col("v")).as("mn"))
+          .select(col("doc_id"), least(col("doc_id"), col("mn")).as("component")),
+        maxLocalRows)
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
   }
 
   /**
