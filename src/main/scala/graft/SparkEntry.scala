@@ -1416,6 +1416,54 @@ object SparkEntry {
           md5(hex(col("png"))).as("png_md5"))
     }),
 
+    "q98_bm25_topk" -> ((s, d) => {
+      // BM25 retrieval top-k — the ranked-retrieval primitive a curation
+      // pipeline runs for query-based decontamination / targeted corpus
+      // slicing. Shape: inverted-index equi-join of a small query-term
+      // frame (broadcast) against per-(term, doc) postings — never
+      // all-pairs; df/length stats are narrow exact-integer aggregates.
+      // RATIONAL-idf variant: idf = (2N-2df+1)/(2df+1) — the classic
+      // ln((N-df+.5)/(df+.5)) replaced by its argument, keeping the exact
+      // same monotone df-ordering per term while making every score a
+      // pure rational expression: identical arithmetic shapes fold
+      // bit-exact cross-engine in query-term order (the q90 rule) with no
+      // libm call and no rounding quantum. k1 = 1.2, b = 0.75. At 100 TB
+      // the stopword-heavy candidate fan-out is bounded by an idf floor
+      // (here unpruned: the fixture's corpus is small; the knob is a
+      // WHERE on idf before the postings join). Ties cannot occur: the
+      // row_number orders by (score, doc_id).
+      val docs = t(s, d, "documents")
+      val toks = filter(split(trim(col("text")), "\\s+"), tk => tk =!= "")
+      val docToks = docs.select(col("doc_id"), posexplode(toks))
+        .withColumnRenamed("col", "term")
+      val dlenF = docToks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+      val stats = dlenF.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_len"))
+      val tfF = docToks.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val qt = docs.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("query_id"), posexplode(slice(toks, 1, 6)))
+        .withColumnRenamed("col", "term")
+        .groupBy(col("query_id"), col("term")).agg(min(col("pos")).as("qpos"))
+      val dfF = qt.select(col("term")).distinct()
+        .join(tfF, Seq("term")).groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val nd = col("n_docs").cast("double"); val dfd = col("df").cast("double")
+      val tfd = col("tf").cast("double"); val lend = col("len").cast("double")
+      val contrib = qt.join(tfF, Seq("term")).join(broadcast(dfF), Seq("term"))
+        .join(dlenF, Seq("doc_id")).crossJoin(broadcast(stats))
+        .select(col("query_id"), col("doc_id"), col("qpos"),
+          (((lit(2.0) * nd - lit(2.0) * dfd + lit(1.0)) / (lit(2.0) * dfd + lit(1.0))) *
+            ((tfd * lit(2.2)) / (tfd + lit(1.2) * (lit(0.25) + lit(0.75) *
+              (lend / (col("total_len").cast("double") / nd)))))).as("c"))
+      val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+        .agg(collect_list(struct(col("qpos"), col("c"))).as("cs"))
+        .select(col("query_id"), col("doc_id"),
+          expr("aggregate(transform(array_sort(cs), x -> x.c), 0.0D, (a, v) -> a + v)").as("bm25"))
+      scored.select(col("query_id"),
+          row_number().over(Window.partitionBy(col("query_id"))
+            .orderBy(col("bm25").desc, col("doc_id"))).as("rank"),
+          col("doc_id"), col("bm25"))
+        .filter(col("rank") <= 10)
+    }),
+
     "q96_components_star" -> ((s, d) => {
       graft.functions.registerAll(s)
       // large-star/small-star connected components (Dedup
@@ -3139,6 +3187,41 @@ object SparkEntry {
          |SELECT CAST(a AS BIGINT) AS doc_id, CAST(min(b) AS BIGINT) AS component,
          |  (a = min(b)) AS kept
          |FROM r GROUP BY a""".stripMargin,
+
+    // BM25 replay: identical tokenization (the q70 parity forms),
+    // identical rational arithmetic shapes, query-term-order fold
+    // (list_reduce over list(c ORDER BY qpos)), row_number tiebreak
+    "q98_bm25_topk" ->
+      """WITH tokd AS (
+        |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x != '') AS tk
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, tk[i] AS term, i - 1 AS pos
+        |  FROM tokd, unnest(generate_series(1, len(tk))) AS g(i)),
+        |dlen AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n_docs, sum(len) AS total_len FROM dlen),
+        |tf AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id),
+        |qt AS (SELECT doc_id AS query_id, term, min(pos) AS qpos
+        |  FROM toks WHERE doc_id % 97 = 0 AND pos < 6 GROUP BY query_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+        |contrib AS (
+        |  SELECT q.query_id, f.doc_id, q.qpos,
+        |    ((2.0E0 * CAST(s.n_docs AS DOUBLE) - 2.0E0 * CAST(d.df AS DOUBLE) + 1.0E0)
+        |      / (2.0E0 * CAST(d.df AS DOUBLE) + 1.0E0))
+        |    * ((CAST(f.tf AS DOUBLE) * 2.2E0)
+        |      / (CAST(f.tf AS DOUBLE) + 1.2E0 * (0.25E0 + 0.75E0 *
+        |          (CAST(l.len AS DOUBLE) / (CAST(s.total_len AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))))) AS c
+        |  FROM qt q JOIN tf f USING (term) JOIN dfq d USING (term)
+        |    JOIN dlen l ON l.doc_id = f.doc_id, stats s),
+        |scored AS (
+        |  SELECT query_id, doc_id,
+        |    list_reduce(list_prepend(0.0E0, list(c ORDER BY qpos)), (a, v) -> a + v) AS bm25
+        |  FROM contrib GROUP BY query_id, doc_id)
+        |SELECT query_id, CAST(rn AS INT) AS rank, doc_id, bm25
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+        |      FROM scored)
+        |WHERE rn <= 10""".stripMargin,
 
     // high-diameter star-contraction components: the identical id-derived
     // edge set (stride-7 chains + %101 bridges) closed by a recursive CTE
