@@ -1416,6 +1416,44 @@ object SparkEntry {
           md5(hex(col("png"))).as("png_md5"))
     }),
 
+    "q99_pq_adc" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // Product quantization for MIPS — the ANN COMPRESSION path: 64
+      // floats (256 B) per vector become 4 one-byte codes before the
+      // index ships to searchers; inner product is the one similarity
+      // that decomposes EXACTLY across subspaces, so ADC scoring is a
+      // broadcast lookup-table sum (Ann.pqCodebooks/pqCodes/pqTopK —
+      // per-subspace k-means with the IVF trainer's 1/2^20-quantized
+      // exact means, dot-argmax assignment, subspace-ordered ADC folds).
+      // Graded q93-style: adc scores bit-exact, plus each hit's
+      // exact-dot brute rank and per-query recall@10 as columns — PQ
+      // recall < 1 by construction, the NUMBER is the contract.
+      import graft.pipeline.Ann
+      val emb = graft.data.Fixtures.embDupCorpus(s, d)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val approx = Ann.pqTopK(emb, queries, k = 10)
+      val bruteW = Window.partitionBy(col("query_id"))
+        .orderBy(col("xdot").desc, col("vec_id"))
+      // bounded fixture anchor (8 x corpus), the labeled brute pattern
+      val brute = queries.crossJoin(emb)
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          gf.dot_sim(col("embedding"), col("qvec")).as("xdot"))
+        .withColumn("exact_rank", row_number().over(bruteW))
+        .select(col("query_id"), col("vec_id"), col("exact_rank"))
+      val recall = approx
+        .join(brute.filter(col("exact_rank") <= 10).withColumn("hit", lit(1L))
+          .select(col("query_id"), col("vec_id"), col("hit")),
+          Seq("query_id", "vec_id"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(coalesce(col("hit"), lit(0L))) / lit(10.0)).as("recall10"))
+      approx.join(brute, Seq("query_id", "vec_id"))
+        .join(recall, Seq("query_id"))
+        .select(col("query_id"), col("rank"), col("vec_id"), col("adc"),
+          col("exact_rank"), col("recall10"))
+    }),
+
     "q98_bm25_topk" -> ((s, d) => {
       // BM25 retrieval top-k — the ranked-retrieval primitive a curation
       // pipeline runs for query-based decontamination / targeted corpus
@@ -2140,6 +2178,42 @@ object SparkEntry {
     val na = orderedSum(a, i => s"CAST($a[$i] AS DOUBLE) * CAST($a[$i] AS DOUBLE)")
     val nb = orderedSum(b, i => s"CAST($b[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
     s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE $dot / (sqrt($na) * sqrt($nb)) END)"
+  }
+
+  /** `TextOps.dotSim` replayed exactly (double fold in index order). */
+  private def dotSqlExpr(a: String, b: String): String =
+    orderedSum(a, i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+
+  /** q99's per-subspace PQ trainer replay: slice CTE, the shared md5
+    * id-sample init (row_number over vec_id order — `Ann.centroids`),
+    * two dot-argmax + quantized-mean k-means iterations, ending in
+    * `book<sub>(sub, list_id, cvec)`. Mirrors [[kmeansIterCtes]] with
+    * dot in place of cosine over the 16-dim slices. */
+  private def pqSubCtes(sub: Int, src: String): String = {
+    val lo = sub * 16 + 1; val hi = sub * 16 + 16
+    val sl = s"sl$sub"
+    def iter(cPrev: String, aNew: String, mNew: String, cNew: String) =
+      s"""$aNew AS (
+         |  SELECT vec_id, svec, list_id FROM (
+         |    SELECT e.vec_id, e.svec, c.list_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${dotSqlExpr("e.svec", "c.cvec")} DESC, c.list_id) AS rn
+         |    FROM $sl e CROSS JOIN $cPrev c) WHERE rn = 1),
+         |$mNew AS (
+         |  SELECT list_id, g.p AS pos,
+         |    CAST(sum(floor(CAST(svec[g.p] AS DOUBLE) * 1048576.0 + 0.5))
+         |      / count(*) / 1048576.0 AS REAL) AS c
+         |  FROM $aNew, unnest(generate_series(1, len(svec))) AS g(p)
+         |  GROUP BY list_id, g.p),
+         |$cNew AS (SELECT list_id, list(c ORDER BY pos) AS cvec FROM $mNew GROUP BY list_id)""".stripMargin
+    s"""$sl AS (SELECT vec_id, embedding[$lo:$hi] AS svec FROM $src),
+       |c0_$sub AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS list_id, embedding[$lo:$hi] AS cvec
+       |  FROM (SELECT vec_id, embedding FROM $src
+       |        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)),
+       |${iter(s"c0_$sub", s"a1_$sub", s"m1_$sub", s"c1_$sub")},
+       |${iter(s"c1_$sub", s"a2_$sub", s"m2_$sub", s"c2_$sub")},
+       |book$sub AS (SELECT $sub AS sub, list_id, cvec FROM c2_$sub)""".stripMargin
   }
 
   /** One k-means iteration in SQL: argmax assignment of every vector to
@@ -3187,6 +3261,50 @@ object SparkEntry {
          |SELECT CAST(a AS BIGINT) AS doc_id, CAST(min(b) AS BIGINT) AS component,
          |  (a = min(b)) AS kept
          |FROM r GROUP BY a""".stripMargin,
+
+    // full PQ replay: four per-subspace trainers (shared md5 id-sample,
+    // dot-argmax, quantized means), codes, query ADC tables, subspace-
+    // ordered fold, exact-dot brute ranks and recall@10
+    "q99_pq_adc" ->
+      s"""WITH $embDupCorpusCte,
+         |${(0 until 4).map(pqSubCtes(_, "corpus")).mkString(",\n")},
+         |books AS (${(0 until 4).map(s => s"SELECT * FROM book$s").mkString(" UNION ALL ")}),
+         |slall AS (${(0 until 4).map(s => s"SELECT vec_id, $s AS sub, svec FROM sl$s").mkString(" UNION ALL ")}),
+         |codes AS (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT s.vec_id, s.sub, b.list_id AS code,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY ${dotSqlExpr("s.svec", "b.cvec")} DESC, b.list_id) AS rn
+         |    FROM slall s JOIN books b USING (sub)) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qvec FROM corpus WHERE vec_id < 8),
+         |qsl AS (${(0 until 4).map(s => s"SELECT query_id, $s AS sub, qvec[${s * 16 + 1}:${s * 16 + 16}] AS qs FROM q").mkString(" UNION ALL ")}),
+         |tbl AS (
+         |  SELECT query_id, sub, b.list_id AS code, ${dotSqlExpr("qsl.qs", "b.cvec")} AS pd
+         |  FROM qsl JOIN books b USING (sub)),
+         |adc AS (
+         |  SELECT t.query_id, c.vec_id,
+         |    list_reduce(list_prepend(0.0E0, list(pd ORDER BY t.sub)), (a, v) -> a + v) AS adc
+         |  FROM codes c JOIN tbl t ON t.sub = c.sub AND t.code = c.code
+         |  WHERE c.vec_id <> t.query_id
+         |  GROUP BY t.query_id, c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, vec_id, adc,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rank
+         |  FROM adc),
+         |brute AS (
+         |  SELECT q.query_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${dotSqlExpr("e.embedding", "q.qvec")} DESC, e.vec_id) AS exact_rank
+         |  FROM q CROSS JOIN corpus e WHERE e.vec_id <> q.query_id),
+         |rec AS (
+         |  SELECT r.query_id,
+         |    sum(CASE WHEN b.exact_rank <= 10 THEN 1 ELSE 0 END) / 10.0E0 AS recall10
+         |  FROM ranked r JOIN brute b USING (query_id, vec_id)
+         |  WHERE r.rank <= 10 GROUP BY r.query_id)
+         |SELECT r.query_id, CAST(r.rank AS INT) AS rank, r.vec_id, r.adc,
+         |  CAST(b.exact_rank AS INT) AS exact_rank, rec.recall10
+         |FROM ranked r JOIN brute b USING (query_id, vec_id) JOIN rec USING (query_id)
+         |WHERE r.rank <= 10""".stripMargin,
 
     // BM25 replay: identical tokenization (the q70 parity forms),
     // identical rational arithmetic shapes, query-term-order fold

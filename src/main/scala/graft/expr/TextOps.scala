@@ -211,6 +211,23 @@ object TextOps {
   // ---- embeddings ----
   /** Cosine similarity of two float vectors, accumulated in float64 in
     * index order (deterministic). Returns 0 for zero-norm inputs. */
+  /** Inner product of float-vector embeddings (double accumulation in
+    * index order) — the similarity PQ's ADC decomposes across subspaces
+    * (dot(q, v) = Σ_m dot(q_m, v_m) in exact arithmetic; in floats the
+    * subspace-ordered fold is its own deterministic definition, and q99
+    * pins that SAME fold order on both engines rather than comparing it
+    * to the full-vector fold). */
+  def dotSim(a: ArrayData, b: ArrayData): Double = {
+    val n = Math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble
+      i += 1
+    }
+    dot
+  }
+
   def cosineSim(a: ArrayData, b: ArrayData): Double = {
     val n = Math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -232,6 +232,22 @@ case class HammingDist(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** Inner product of float-vector embeddings (double accumulation). */
+case class DotSim(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "dot_sim"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.dotSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.TextOps.dotSim($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotSim =
+    copy(l, r)
+}
+
 /** Cosine similarity of float-vector embeddings (double accumulation). */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

@@ -84,6 +84,8 @@ object functions {
   def simhash(shingles: Column): Column = toCol(SimHash(toExpr(shingles)))
   def hamming_dist(a: Column, b: Column): Column =
     toCol(HammingDist(toExpr(a), toExpr(b)))
+  def dot_sim(a: Column, b: Column): Column =
+    toCol(DotSim(toExpr(a), toExpr(b)))
   def cosine_sim(a: Column, b: Column): Column =
     toCol(CosineSim(toExpr(a), toExpr(b)))
   def hyperplane_lsh(v: Column, bits: Column, seed: Column): Column =
@@ -136,6 +138,7 @@ object functions {
     "simhash" -> ((e => SimHash(e.head)): Builder),
     "hamming_dist" -> ((e => HammingDist(e(0), e(1))): Builder),
     "cosine_sim" -> ((e => CosineSim(e(0), e(1))): Builder),
+    "dot_sim" -> ((e => DotSim(e(0), e(1))): Builder),
     "hyperplane_lsh" -> ((e => HyperplaneLsh(e(0), e(1), e(2))): Builder),
     "fingerprint" -> ((e => Fingerprint(e.head)): Builder))
 

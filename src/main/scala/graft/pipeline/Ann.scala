@@ -151,4 +151,82 @@ object Ann {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
   }
+
+  // ---- Product quantization for MIPS (q99) --------------------------------
+  //
+  // The ANN COMPRESSION path: each vector's 64 floats (256 bytes) become
+  // m = 4 one-byte codes — the representation a 10^12-vector index ships
+  // to searchers. Inner product is the one similarity that decomposes
+  // EXACTLY across subspaces (dot(q,v) = Σ_m dot(q_m, v_m)), so ADC
+  // scoring is a lookup-table sum with no reconstruction. Codebooks are
+  // per-subspace k-means with dot-argmax assignment and the same
+  // 1/2^20-quantized exact mean accumulation as the IVF trainer (bit-
+  // identical at any parallelism, DuckDB-replayable).
+
+  /** Per-subspace codebooks: (sub, list_id, cvec[width]); the centroid
+    * id-sample is shared across subspaces (md5 order over vec_id). */
+  def pqCodebooks(emb: DataFrame, m: Int = 4, width: Int = 16,
+                  k: Int = 16, iters: Int = 2): DataFrame =
+    (0 until m).map { sub =>
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding"), sub * width + 1, width).as("embedding"))
+      var cents = centroids(sliced, k)
+      (1 to iters).foreach { _ =>
+        val comp = sliced.crossJoin(broadcast(cents))
+          .withColumn("ds", gf.dot_sim(col("embedding"), col("cvec")))
+          .groupBy(col("vec_id"))
+          .agg(expr("max_by(list_id, struct(ds, -list_id))").as("list_id"),
+            first(col("embedding")).as("embedding"))
+          .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .groupBy(col("list_id"), col("pos"))
+          .agg(sum(floor(col("x").cast("double") * lit(1048576.0) + lit(0.5))
+            .cast("decimal(38,0)")).as("sq"), count(lit(1)).as("n"))
+          .withColumn("c",
+            ((col("sq").cast("double") / col("n").cast("double")) / lit(1048576.0))
+              .cast("float"))
+        cents = graft.sources.Storage.localize(
+          comp.groupBy(col("list_id"))
+            .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+              s => s("c")).as("cvec")))
+      }
+      cents.withColumn("sub", lit(sub))
+    }.reduce(_ unionByName _)
+
+  /** PQ encoding: m codes per vector — a map-side dot-argmax against the
+    * broadcast codebooks, one groupBy on (vec, sub). */
+  def pqCodes(emb: DataFrame, books: DataFrame, width: Int = 16): DataFrame =
+    emb.crossJoin(broadcast(books))
+      .withColumn("ds", gf.dot_sim(
+        slice(col("embedding"), col("sub") * lit(width) + lit(1), lit(width)), col("cvec")))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(expr("max_by(list_id, struct(ds, -list_id))").as("code"))
+
+  /**
+   * ADC top-k per query: the query's per-(sub, centroid) dot table (m*k
+   * doubles, broadcast) joined to the codes, partial dots summed in
+   * SUBSPACE ORDER (sorted-struct fold — deterministic at any
+   * partitioning), row_number with vec_id tiebreak. Approximate by
+   * construction; q99 grades recall against the exact-dot brute anchor.
+   */
+  def pqTopK(emb: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 4, width: Int = 16, nCentroids: Int = 16,
+             iters: Int = 2): DataFrame = {
+    val books = graft.sources.Storage.localize(pqCodebooks(emb, m, width, nCentroids, iters))
+    val codes = pqCodes(emb, books, width)
+    val tables = queries.crossJoin(broadcast(books))
+      .select(col("query_id"), col("sub"), col("list_id").as("code"),
+        gf.dot_sim(slice(col("qvec"), col("sub") * lit(width) + lit(1), lit(width)),
+          col("cvec")).as("pd"))
+    val rankW = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("vec_id"))
+    codes.join(broadcast(tables), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(collect_list(struct(col("sub"), col("pd"))).as("ps"))
+      .select(col("query_id"), col("vec_id"),
+        expr("aggregate(transform(array_sort(ps), x -> x.pd), 0.0D, (a, v) -> a + v)").as("adc"))
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"), col("adc"))
+  }
 }

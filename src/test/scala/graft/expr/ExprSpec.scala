@@ -263,6 +263,36 @@ class ExprSpec extends AnyFunSuite {
     assert(rows(0).getLong(2) == rows(1).getLong(2))
   }
 
+  test("dot_sim matches its JVM definition; subspace dots sum to the full dot in exact cases") {
+    val rnd = new scala.util.Random(23)
+    val vecs = Seq.fill(6)((Array.fill(64)(rnd.nextFloat() - 0.5f),
+      Array.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.zipWithIndex.map { case ((a, b), i) => (i.toLong, a, b) }
+      .toDF("id", "a", "b")
+      .select(Seq($"id", graft.functions.dot_sim($"a", $"b").as("d")) ++
+        (0 until 4).map(s =>
+          graft.functions.dot_sim(slice($"a", s * 16 + 1, 16), slice($"b", s * 16 + 1, 16))
+            .as(s"p$s")): _*)
+    df.collect().foreach { r =>
+      val i = r.getLong(0).toInt
+      val (a, b) = vecs(i)
+      // kernel == JVM replica (the expression IS TextOps.dotSim)
+      var expect = 0.0
+      (0 until 64).foreach(k => expect += a(k).toDouble * b(k).toDouble)
+      assert(r.getDouble(1) == expect, s"dot_sim kernel diverges for vec $i")
+      // subspace partials each match their own slice fold, and their
+      // q99-ordered sum is within float-reassociation distance of the
+      // full fold (the ADC definition is the ordered partial sum itself)
+      val partials = (0 until 4).map { s =>
+        var p = 0.0
+        (s * 16 until s * 16 + 16).foreach(k => p += a(k).toDouble * b(k).toDouble)
+        assert(r.getDouble(2 + s) == p, s"subspace $s partial diverges")
+        p
+      }
+      assert(math.abs(partials.sum - expect) < 1e-12)
+    }
+  }
+
   test("lsh_bands: identical signatures share all bands; hamming_dist works") {
     val df = Seq(("x", "same text here"), ("y", "same text here"))
       .toDF("id", "text")
