@@ -650,6 +650,39 @@ object SparkEntry {
       Sketch.hllEstimateBy(all).crossJoin(mis)
     }),
 
+    "q100_bloom_semijoin" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // Bloom-filter semi-join reduction (pipeline.Bloom): a 256-url
+      // blocklist (deterministic bottom-k sample — the takedown/
+      // decontamination list shape) is summarized into a 2048-bit filter
+      // (32 longs, broadcast); ALL pages probe it map-side — k=3
+      // broadcast joins, no exchange on the probe side — and only
+      // passing rows would reach the exact join. Graded per host:
+      // n_false_neg MUST be 0 on every row (the guarantee that makes
+      // dropping non-passing rows safe); n_false_pos is the expected
+      // (1-e^{-kn/bits})^k leakage the exact join re-filters. The exact
+      // in-block join here is the GRADING truth; at scale the bloom
+      // probe replaces it on the fast path.
+      import graft.pipeline.{Bloom, Sample}
+      val p = pages(s, d)
+      val block = Sample.bottomK(p.select(col("url")), col("url"), col("url"), 256)
+        .select(col("url"))
+      val words = Bloom.buildWords(block, col("url"), bits = 2048, k = 3)
+      val probed = Bloom.mightContain(
+        p.select(col("url"),
+          regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("host")),
+        col("url"), words, bits = 2048, k = 3, out = "bloom_pass")
+      probed.join(broadcast(block.withColumn("in_block", lit(1))), Seq("url"), "left")
+        .groupBy(col("host")).agg(
+          count(lit(1)).as("n_pages"),
+          sum(when(col("bloom_pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("in_block") === 1, 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("bloom_pass") && col("in_block").isNull, 1L).otherwise(0L))
+            .as("n_false_pos"),
+          sum(when(!col("bloom_pass") && col("in_block") === 1, 1L).otherwise(0L))
+            .as("n_false_neg"))
+    }),
+
     "q79_trigram_fluency" -> ((s, d) => {
       // per-doc fluency/quality: best-language mean trigram log-prob
       // (near the unseen floor = gibberish) + the predicted language —
@@ -2829,6 +2862,39 @@ object SparkEntry {
       |  CAST(occupied AS BIGINT) AS occupied,
       |  (SELECT n_register_mismatch FROM mis) AS n_register_mismatch
       |FROM agg""".stripMargin),
+
+    // bloom membership replayed as "every probe idx IN the distinct
+    // build-idx set" — structurally different SQL from the engine's
+    // word/bit table, identical semantics (bit (idx>>6, idx&63) is set
+    // iff some build key produced exactly idx); blocklist = q84's
+    // sign-adjusted bottom-k ordering over url hashes
+    "q100_bloom_semijoin" -> (pagesCte + s""",
+      |bh AS (SELECT url, ${fnvSql("url")} AS hu FROM pages),
+      |block AS (SELECT url, hu FROM (
+      |    SELECT url, hu, CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+      |      THEN hu - $Wrap64 ELSE hu END AS BIGINT) AS hs FROM bh)
+      |  ORDER BY hs, url LIMIT 256),
+      |bset AS (SELECT DISTINCT CAST(${mix64Sql("xor(hu, CAST(j AS HUGEINT))")} % 2048 AS BIGINT) AS idx
+      |  FROM block, (VALUES (0), (1), (2)) jj(j)),
+      |probe AS (SELECT url, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+      |    CAST(${mix64Sql("xor(hu, 0::HUGEINT)")} % 2048 AS BIGINT) AS i0,
+      |    CAST(${mix64Sql("xor(hu, 1::HUGEINT)")} % 2048 AS BIGINT) AS i1,
+      |    CAST(${mix64Sql("xor(hu, 2::HUGEINT)")} % 2048 AS BIGINT) AS i2
+      |  FROM bh),
+      |tested AS (SELECT probe.host,
+      |    (b0.idx IS NOT NULL AND b1.idx IS NOT NULL AND b2.idx IS NOT NULL) AS pass,
+      |    (bl.url IS NOT NULL) AS in_block
+      |  FROM probe
+      |  LEFT JOIN bset b0 ON probe.i0 = b0.idx
+      |  LEFT JOIN bset b1 ON probe.i1 = b1.idx
+      |  LEFT JOIN bset b2 ON probe.i2 = b2.idx
+      |  LEFT JOIN (SELECT DISTINCT url FROM block) bl ON probe.url = bl.url)
+      |SELECT host, count(*) AS n_pages,
+      |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |  CAST(sum(CASE WHEN in_block THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+      |  CAST(sum(CASE WHEN pass AND NOT in_block THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+      |  CAST(sum(CASE WHEN (NOT pass) AND in_block THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+      |FROM tested GROUP BY host""".stripMargin),
 
     // the same canonicalization chain generated from Urls' constants
     "q80_url_canonical" ->
