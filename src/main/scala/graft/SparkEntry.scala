@@ -683,6 +683,17 @@ object SparkEntry {
             .as("n_false_neg"))
     }),
 
+    "q101_substring_dedup" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // exact-substring dedup (the suffix-array-style repeated-sequence
+      // stage, word-level): 8-gram spans occurring >= 2x anywhere in the
+      // corpus, merged per doc into maximal overlap/adjacent word ranges
+      // (pipeline.Dedup.duplicatedSpans) — the cut list a curation pass
+      // applies before training. 47 docs carry duplicated spans at
+      // sf0.01 (the near-dup fixture docs plus self-repetition).
+      graft.pipeline.Dedup.duplicatedSpans(t(s, d, "documents"), n = 8)
+    }),
+
     "q79_trigram_fluency" -> ((s, d) => {
       // per-doc fluency/quality: best-language mean trigram log-prob
       // (near the unseen floor = gibberish) + the predicted language —
@@ -2895,6 +2906,31 @@ object SparkEntry {
       |  CAST(sum(CASE WHEN pass AND NOT in_block THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
       |  CAST(sum(CASE WHEN (NOT pass) AND in_block THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
       |FROM tested GROUP BY host""".stripMargin),
+
+    // duplicated 8-gram spans: q70's tokenization parity forms, gram hash
+    // = fnv over the joined shingle string, gaps-and-islands merge
+    // (lag == running max because span starts sort ascending per doc)
+    "q101_substring_dedup" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+         |    t -> t <> '') AS tk FROM documents),
+         |gr0 AS (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(tk[i : i + 7], ' ') AS sh
+         |  FROM toks, unnest(generate_series(1, greatest(len(tk) - 7, 0))) AS s(i)),
+         |gr AS (SELECT doc_id, pos, ${fnvSql("sh")} AS g FROM gr0),
+         |dup AS (SELECT g FROM gr GROUP BY g HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, pos FROM gr JOIN dup USING (g)),
+         |lagd AS (SELECT doc_id, pos,
+         |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev FROM hits),
+         |isl AS (SELECT doc_id, pos,
+         |    sum(CASE WHEN prev IS NULL OR pos > prev + 8 THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+         |  FROM lagd)
+         |SELECT doc_id, CAST(span_start AS INT) AS span_start,
+         |  CAST(span_end AS INT) AS span_end,
+         |  CAST(span_end - span_start + 1 AS INT) AS span_words
+         |FROM (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+         |      FROM isl GROUP BY doc_id, island)""".stripMargin,
 
     // the same canonicalization chain generated from Urls' constants
     "q80_url_canonical" ->

@@ -371,4 +371,45 @@ object Dedup {
       .agg(min(when(col("owner") === col("doc_id"), 1).otherwise(0)).as("k"))
       .select(col("doc_id"), (col("k") === 1).as("kept"))
   }
+
+  /**
+   * Exact-substring duplicated spans (q101) — the "dedup of repeated
+   * sequences" stage (word-level analog of suffix-array substring dedup):
+   * every word `n`-gram occurring ≥ 2 times ANYWHERE in the corpus
+   * (cross-doc or self-repetition) marks its span; overlapping-or-
+   * adjacent marked spans merge per doc into maximal
+   * `[span_start, span_end]` word ranges — the ranges a curation pass
+   * cuts before training. Returns (doc_id, span_start, span_end,
+   * span_words); docs with no duplicated span are absent.
+   *
+   * Scale shape: gram hashes leave the scan as (doc_id, pos, g) — the
+   * text never shuffles; the duplicate-gram set is one ids-only groupBy;
+   * the join back is g-keyed; the merge is a lag + running-sum window
+   * INSIDE each doc's partition (docs are bounded, the window never
+   * spans a corpus). Identical semantics replay in the DuckDB oracle via
+   * the q70 tokenization parity forms + gaps-and-islands windows.
+   */
+  def duplicatedSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"), posexplode(gf.word_shingles(col("text"), lit(n))))
+      .select(col("doc_id"), col("pos"), gf.hash_text(col("col")).as("g"))
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select(col("g"))
+    val hits = grams.join(dup, Seq("g")).select(col("doc_id"), col("pos"))
+    // positions sort ascending per doc, so lag(pos) IS the running max of
+    // prior span starts; a new island begins when this span cannot touch
+    // the previous one (start > prev_start + n ⇔ start > prev_end + 1)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val lagged = hits.withColumn("prev", lag(col("pos"), 1).over(w))
+      .withColumn("isn",
+        when(col("prev").isNull || col("pos") > col("prev") + n, 1).otherwise(0))
+      .withColumn("island",
+        sum(col("isn")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    lagged.groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(n - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + lit(1)).as("span_words"))
+  }
 }
