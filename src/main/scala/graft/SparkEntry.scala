@@ -694,6 +694,22 @@ object SparkEntry {
       graft.pipeline.Dedup.duplicatedSpans(t(s, d, "documents"), n = 8)
     }),
 
+    "q102_kmv_quantiles" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // mergeable per-language quantile sketch (pipeline.Sample
+      // .kmvQuantileSummary): estimates are order statistics of the
+      // 32-row bottom-k-by-hash sample; merged-over-4-shards sample ==
+      // directly-built sample graded as n_mismatch = 0 (the q97
+      // mergeability pattern), estimate quality as the exact in-group
+      // rank of each estimate (integer-only within_bound — no floats).
+      // positions in the 32-sample: ceil(pct/100 * 32)
+      graft.pipeline.Sample.kmvQuantileSummary(
+        t(s, d, "documents").select(col("lang").as("grp"),
+          col("doc_id").as("id"), col("n_chars").cast("long").as("v")),
+        k = 32, pcts = Seq((25, 8), (50, 16), (75, 24), (90, 29)))
+        .withColumnRenamed("grp", "lang")
+    }),
+
     "q79_trigram_fluency" -> ((s, d) => {
       // per-doc fluency/quality: best-language mean trigram log-prob
       // (near the unseen floor = gibberish) + the predicted language —
@@ -2931,6 +2947,50 @@ object SparkEntry {
          |  CAST(span_end - span_start + 1 AS INT) AS span_words
          |FROM (SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
          |      FROM isl GROUP BY doc_id, island)""".stripMargin,
+
+    // KMV quantile sketch replay: sample membership by sign-adjusted
+    // mix64 order (the q84 rule), merge = bottom-k of per-shard
+    // bottom-ks, estimates as order statistics, ranks exact-integer
+    "q102_kmv_quantiles" ->
+      s"""WITH d AS (SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS v FROM documents),
+         |h0 AS (SELECT lang, doc_id, v,
+         |    ${mix64Sql("CAST(doc_id AS HUGEINT)")} AS hu,
+         |    CAST(${mix64Sql("xor(CAST(doc_id AS HUGEINT), 40503::HUGEINT)")} % 4 AS BIGINT) AS shard
+         |  FROM d),
+         |hh AS (SELECT lang, doc_id, v, shard,
+         |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+         |      THEN hu - $Wrap64 ELSE hu END AS BIGINT) AS hs FROM h0),
+         |ps AS (SELECT lang, doc_id, v, hs FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY lang, shard ORDER BY hs, doc_id) AS rn
+         |    FROM hh) WHERE rn <= 32),
+         |mg AS (SELECT lang, doc_id FROM (
+         |    SELECT lang, doc_id, row_number() OVER (PARTITION BY lang ORDER BY hs, doc_id) AS rn
+         |    FROM ps) WHERE rn <= 32),
+         |dr AS (SELECT lang, doc_id, v FROM (
+         |    SELECT lang, doc_id, v, row_number() OVER (PARTITION BY lang ORDER BY hs, doc_id) AS rn
+         |    FROM hh) WHERE rn <= 32),
+         |mis AS (SELECT coalesce(a.lang, b.lang) AS lang,
+         |    CAST(sum(CASE WHEN a.doc_id IS NULL OR b.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_mismatch
+         |  FROM mg a FULL JOIN dr b ON a.lang = b.lang AND a.doc_id = b.doc_id
+         |  GROUP BY coalesce(a.lang, b.lang)),
+         |qd AS (SELECT * FROM (VALUES (25, 8), (50, 16), (75, 24), (90, 29)) qd(pct, r)),
+         |est AS (SELECT s.lang, qd.pct, s.v AS est_value, s.doc_id AS est_id
+         |  FROM (SELECT lang, doc_id, v,
+         |      row_number() OVER (PARTITION BY lang ORDER BY v, doc_id) AS vr FROM dr) s
+         |  JOIN qd ON s.vr = qd.r),
+         |ng AS (SELECT lang, count(*) AS n_group FROM d GROUP BY lang),
+         |rk AS (SELECT e.lang, e.pct, count(*) AS true_rank
+         |  FROM est e JOIN d ON d.lang = e.lang
+         |    AND (d.v < e.est_value OR (d.v = e.est_value AND d.doc_id <= e.est_id))
+         |  GROUP BY e.lang, e.pct)
+         |SELECT e.lang, CAST(e.pct AS INT) AS pct, e.est_value, e.est_id,
+         |  rk.true_rank, ng.n_group, mis.n_mismatch,
+         |  abs(100 * rk.true_rank - e.pct * ng.n_group) <= 30 * ng.n_group AS within_bound
+         |FROM est e
+         |JOIN rk ON rk.lang = e.lang AND rk.pct = e.pct
+         |JOIN ng ON ng.lang = e.lang
+         |JOIN mis ON mis.lang = e.lang""".stripMargin,
 
     // the same canonicalization chain generated from Urls' constants
     "q80_url_canonical" ->

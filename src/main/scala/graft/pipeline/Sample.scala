@@ -27,4 +27,71 @@ object Sample {
     df.withColumn("h", gf.hash_text(key))
       .orderBy(col("h"), tiebreak)
       .limit(k)
+
+  /** Per-group bottom-k over a precomputed hash column `h` (ties by
+    * `tiebreak`): the KMV sample. One group-keyed shuffle; the window's
+    * per-partition sort touches only each group's rows. */
+  def bottomKBy(df: DataFrame, grp: Column, h: Column, tiebreak: Column, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(grp).orderBy(h, tiebreak)))
+      .where(col("__rn") <= k).drop("__rn")
+  }
+
+  /**
+   * Mergeable per-group quantile sketch (q102), KMV-style: the quantile
+   * estimate is an order statistic of the k-row bottom-k-by-hash sample.
+   * Because bottom-k of a union IS the bottom-k of the parts' bottom-ks,
+   * the sketch is a distributive aggregate — 1000 executors each keep k
+   * rows per group and combine in any reduce tree; the q97-pattern
+   * identity (merged-over-shards sample == directly-built sample) is
+   * graded as `n_mismatch = 0`, and estimate quality as the exact rank
+   * of each estimate inside its full group (`within_bound`, an
+   * integer-only comparison — no division, no floats).
+   *
+   * Input columns: `grp` (group key), `id` (unique row id, the hash
+   * seed + tiebreak), `v` (the quantity being summarized, long).
+   * `pcts` maps percentile -> 1-based order-statistic position in the
+   * k-sample (e.g. 25 -> ceil(.25 k)).
+   */
+  def kmvQuantileSummary(df: DataFrame, k: Int, pcts: Seq[(Int, Int)],
+                         nShards: Int = 4, boundPct: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col("grp"), col("id"), col("v"),
+      gf.mix64(col("id")).as("h"),
+      pmod(gf.mix64(col("id").bitwiseXOR(lit(40503L))), lit(nShards.toLong)).as("shard"))
+    // per-(group, shard) k-samples — the partial sketches 1000 executors
+    // would hold — then the union's bottom-k (= the merge), vs the sketch
+    // built directly over all rows: identical sets when the sketch is
+    // correct (graded as n_mismatch)
+    val shardSamples = base.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("grp"), col("shard")).orderBy(col("h"), col("id"))))
+      .where(col("__rn") <= k).drop("__rn")
+    val merged = bottomKBy(shardSamples, col("grp"), col("h"), col("id"), k)
+    val direct = bottomKBy(base, col("grp"), col("h"), col("id"), k)
+    val a = merged.select(col("grp").as("ga"), col("id").as("ida"))
+    val b = direct.select(col("grp").as("gb"), col("id").as("idb"))
+    val misCounts = a.join(b, col("ga") === col("gb") && col("ida") === col("idb"), "full")
+      .select(coalesce(col("ga"), col("gb")).as("grp"),
+        when(col("ida").isNull || col("idb").isNull, 1L).otherwise(0L).as("bad"))
+      .groupBy(col("grp")).agg(sum(col("bad")).as("n_mismatch"))
+    val qd = df.sparkSession.range(1).select(
+        explode(typedLit(pcts)).as("pr"))
+      .select(col("pr._1").as("pct"), col("pr._2").as("r"))
+    val est = direct.withColumn("__vr", row_number().over(
+        Window.partitionBy(col("grp")).orderBy(col("v"), col("id"))))
+      .join(broadcast(qd), col("__vr") === col("r"))
+      .select(col("grp"), col("pct"), col("v").as("est_value"), col("id").as("est_id"))
+    val ng = df.groupBy(col("grp")).agg(count(lit(1)).as("n_group"))
+    val rk = df.select(col("grp"), col("id"), col("v"))
+      .join(broadcast(est), Seq("grp"))
+      .where(col("v") < col("est_value") ||
+        (col("v") === col("est_value") && col("id") <= col("est_id")))
+      .groupBy(col("grp"), col("pct")).agg(count(lit(1)).as("true_rank"))
+    est.join(rk, Seq("grp", "pct")).join(ng, Seq("grp")).join(misCounts, Seq("grp"))
+      .select(col("grp"), col("pct"), col("est_value"), col("est_id"),
+        col("true_rank"), col("n_group"), col("n_mismatch"),
+        (abs(lit(100L) * col("true_rank") - col("pct").cast("long") * col("n_group"))
+          <= lit(boundPct.toLong) * col("n_group")).as("within_bound"))
+  }
 }
