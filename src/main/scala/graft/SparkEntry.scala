@@ -710,6 +710,37 @@ object SparkEntry {
         .withColumnRenamed("grp", "lang")
     }),
 
+    "q103_incremental_sketch" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // INCREMENTAL sketch maintenance across snapshot commits: HLL
+      // registers persisted at v1, plus registers over ONLY the CDC
+      // increment (Snapshots.diff v1->v2 inserts), merge into registers
+      // IDENTICAL to a sketch built directly on v2 — a 100-TB table's
+      // cardinality summary is maintainable from new files only, never
+      // re-reading old rows. Grades the q97 pattern: per-source
+      // estimates (grp 1 = v1, 2 = increment, 3 = v2 direct, 4 = v1 +
+      // increment merged) + n_register_mismatch = 0 between 3 and 4.
+      import graft.pipeline.Sketch
+      val dir = graft.data.Fixtures.snapshotTable(s, d)
+      val v1 = graft.sources.Snapshots.readVersionAsOf(s, dir, 1L)
+      val v2 = graft.sources.Snapshots.readVersionAsOf(s, dir, 2L)
+      val inc = graft.sources.Snapshots.diff(s, dir, 1L, 2L)
+        .where(col("op") === "insert")
+      val r1 = Sketch.hllRegistersBy(v1, lit(1L), col("n_name"))
+      val rInc = Sketch.hllRegistersBy(inc, lit(2L), col("n_name"))
+      val rDirect = Sketch.hllRegistersBy(v2, lit(3L), col("n_name"))
+      val rMerged = Sketch.hllMerge(r1.unionByName(rInc))
+        .select(lit(4L).as("grp"), col("idx"), col("m"))
+      val mis = rMerged.select(col("idx"), col("m").as("ma"))
+        .join(rDirect.select(col("idx"), col("m").as("mb")), Seq("idx"), "full")
+        .select(when(coalesce(col("ma"), lit(0)) === coalesce(col("mb"), lit(0)), 0L)
+          .otherwise(1L).as("bad"))
+        .agg(coalesce(sum(col("bad")), lit(0L)).as("n_register_mismatch"))
+      Sketch.hllEstimateBy(
+          r1.unionByName(rInc).unionByName(rDirect).unionByName(rMerged))
+        .crossJoin(mis)
+    }),
+
     "q79_trigram_fluency" -> ((s, d) => {
       // per-doc fluency/quality: best-language mean trigram log-prob
       // (near the unseen floor = gibberish) + the predicted language —
@@ -2991,6 +3022,48 @@ object SparkEntry {
          |JOIN rk ON rk.lang = e.lang AND rk.pct = e.pct
          |JOIN ng ON ng.lang = e.lang
          |JOIN mis ON mis.lang = e.lang""".stripMargin,
+
+    // incremental-sketch replay: v1/increment/v2 row sets re-derived from
+    // nation (the q61 snapshot fixture rule), registers + estimates via
+    // the q97 machinery, merged = register-max of grp 1 and 2
+    "q103_incremental_sketch" -> (s"""
+      |WITH allrows AS (
+      |  SELECT n_name AS k, 1 AS grp FROM nation
+      |  UNION ALL SELECT n_name, 2 FROM nation WHERE n_nationkey < 10
+      |  UNION ALL SELECT n_name, 3 FROM nation
+      |  UNION ALL SELECT n_name, 3 FROM nation WHERE n_nationkey < 10),
+      |hh AS (SELECT CAST(grp AS BIGINT) AS grp, ${fnvSql("k")} AS h FROM allrows),
+      |rr AS (SELECT grp,
+      |    CAST(h // 288230376151711744 AS BIGINT) AS idx,
+      |    CASE WHEN (h * 64) % $Wrap64 = 0 THEN ${graft.pipeline.Sketch.HllMaxRank}
+      |         ELSE CAST(65 - length(bin((h * 64) % $Wrap64)) AS INT) END AS rank
+      |  FROM hh),
+      |regsby AS (SELECT grp, idx, max(rank) AS m FROM rr GROUP BY grp, idx),
+      |merged AS (SELECT CAST(4 AS BIGINT) AS grp, idx, max(m) AS m
+      |  FROM regsby WHERE grp IN (1, 2) GROUP BY idx),
+      |direct AS (SELECT idx, m FROM regsby WHERE grp = 3),
+      |mis AS (SELECT CAST(coalesce(sum(
+      |    CASE WHEN coalesce(a.m, 0) = coalesce(b.m, 0) THEN 0 ELSE 1 END), 0) AS BIGINT)
+      |    AS n_register_mismatch
+      |  FROM merged a FULL JOIN direct b USING (idx)),
+      |allregs AS (SELECT * FROM regsby UNION ALL SELECT * FROM merged),
+      |grid AS (SELECT g.grp, t.range AS idx
+      |  FROM (SELECT DISTINCT grp FROM allregs) g, range(0, ${graft.pipeline.Sketch.HllM}) t),
+      |jm AS (SELECT grid.grp, coalesce(ar.m, 0) AS m
+      |  FROM grid LEFT JOIN allregs ar ON ar.grp = grid.grp AND ar.idx = grid.idx),
+      |agg AS (SELECT grp,
+      |    sum(CAST(CAST(1 AS BIGINT) << (${graft.pipeline.Sketch.HllMaxRank} - m) AS HUGEINT)) AS num,
+      |    sum(CASE WHEN m > 0 THEN 1 ELSE 0 END) AS occupied FROM jm GROUP BY grp)
+      |SELECT grp,
+      |  ${dlit(graft.pipeline.Sketch.HllNumeratorScale)} / CAST(num AS DOUBLE) AS hll_estimate,
+      |  CASE WHEN ${dlit(graft.pipeline.Sketch.HllNumeratorScale)} / CAST(num AS DOUBLE)
+      |         <= ${dlit(2.5 * graft.pipeline.Sketch.HllM)} AND (64 - occupied) > 0
+      |       THEN round(64.0 * ln(64.0 / CAST(64 - occupied AS DOUBLE)), 6)
+      |       ELSE round(${dlit(graft.pipeline.Sketch.HllNumeratorScale)} / CAST(num AS DOUBLE), 6)
+      |  END AS hll_corrected,
+      |  CAST(occupied AS BIGINT) AS occupied,
+      |  (SELECT n_register_mismatch FROM mis) AS n_register_mismatch
+      |FROM agg""".stripMargin),
 
     // the same canonicalization chain generated from Urls' constants
     "q80_url_canonical" ->
