@@ -741,6 +741,22 @@ object SparkEntry {
         .crossJoin(mis)
     }),
 
+    "q104_weighted_sample" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // deterministic WEIGHTED sampling (pipeline.Sample.weightedBottomK):
+      // per-language mixing weights (upsample rare languages, downsample
+      // the dominant one — the data-mixing knob of a training-corpus
+      // builder), item priority = min of w per-copy hashes, global
+      // bottom-150. RNG-free and mergeable like q84; the copy fan-out
+      // collapses map-side so the shuffle carries one row per doc.
+      val wmap = typedLit(Map("en" -> 1, "zh" -> 2, "es" -> 4, "de" -> 8, "fr" -> 16))
+      graft.pipeline.Sample.weightedBottomK(
+        t(s, d, "documents").select(col("doc_id").as("id"), col("lang"),
+          coalesce(element_at(wmap, col("lang")), lit(1)).as("w")),
+        k = 150)
+        .select(col("id").as("doc_id"), col("lang"), col("w"), col("priority"))
+    }),
+
     "q79_trigram_fluency" -> ((s, d) => {
       // per-doc fluency/quality: best-language mean trigram log-prob
       // (near the unseen floor = gibberish) + the predicted language —
@@ -3064,6 +3080,26 @@ object SparkEntry {
       |  CAST(occupied AS BIGINT) AS occupied,
       |  (SELECT n_register_mismatch FROM mis) AS n_register_mismatch
       |FROM agg""".stripMargin),
+
+    // weighted sample replay: per-copy draws via generate_series(0, w-1),
+    // min over SIGN-ADJUSTED priorities (the q84 signed-order rule),
+    // weights from the same literal lang map
+    "q104_weighted_sample" ->
+      s"""WITH wd AS (SELECT doc_id, lang,
+         |    CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 WHEN 'es' THEN 4
+         |      WHEN 'de' THEN 8 WHEN 'fr' THEN 16 ELSE 1 END AS w
+         |  FROM documents),
+         |base AS (SELECT doc_id, lang, w,
+         |    ${mix64Sql("CAST(doc_id AS HUGEINT)")} AS b FROM wd),
+         |draws AS (SELECT doc_id, lang, w,
+         |    ${mix64Sql("xor(b, CAST(j AS HUGEINT))")} AS pu
+         |  FROM base, unnest(generate_series(0, w - 1)) AS g(j)),
+         |pr AS (SELECT doc_id, lang, CAST(w AS INT) AS w,
+         |    min(CAST(CASE WHEN pu >= 9223372036854775808::HUGEINT
+         |      THEN pu - $Wrap64 ELSE pu END AS BIGINT)) AS priority
+         |  FROM draws GROUP BY doc_id, lang, w)
+         |SELECT doc_id, lang, w, priority FROM pr
+         |ORDER BY priority, doc_id LIMIT 150""".stripMargin,
 
     // the same canonicalization chain generated from Urls' constants
     "q80_url_canonical" ->

@@ -28,6 +28,34 @@ object Sample {
       .orderBy(col("h"), tiebreak)
       .limit(k)
 
+  /**
+   * Deterministic WEIGHTED bottom-k (q104) — the corpus-rebalancing
+   * sampler (language/source mixing weights) with every guarantee of
+   * [[bottomK]]: RNG-free, order/partitioning-independent, and
+   * mergeable (the k smallest priorities of a union are the k smallest
+   * of the parts' bottom-ks). An item of integer weight w competes with
+   * the MIN of w independent per-copy hashes — the coupon-copies view
+   * of weighted sampling: P(priority < t) = 1-(1-t)^w, so inclusion
+   * odds scale ~linearly in w for the small t that wins a bottom-k.
+   *
+   * Input: columns `id` (long, the hash seed + tiebreak) and `w` (int
+   * weight, clamped to [1, maxW]) plus any passthrough columns. The
+   * explode fans each row into ≤ maxW copies map-side and collapses
+   * back before any shuffle (partial min aggregation), so the shuffle
+   * carries one row per item; the final global bottom-k plans
+   * TakeOrderedAndProject (per-partition heaps, no global sort).
+   */
+  def weightedBottomK(df: DataFrame, k: Int, maxW: Int = 16): DataFrame = {
+    val keep = df.columns.map(col).toSeq
+    df.withColumn("__w", greatest(least(col("w"), lit(maxW)), lit(1)))
+      .withColumn("__b", gf.mix64(col("id")))
+      .withColumn("__j", explode(sequence(lit(0), col("__w") - 1)))
+      .withColumn("__p", gf.mix64(col("__b").bitwiseXOR(col("__j").cast("long"))))
+      .groupBy(keep: _*).agg(min(col("__p")).as("priority"))
+      .orderBy(col("priority"), col("id"))
+      .limit(k)
+  }
+
   /** Per-group bottom-k over a precomputed hash column `h` (ties by
     * `tiebreak`): the KMV sample. One group-keyed shuffle; the window's
     * per-partition sort touches only each group's rows. */
