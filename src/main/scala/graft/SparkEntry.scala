@@ -842,6 +842,38 @@ object SparkEntry {
         .withColumn("kept", col("doc_id") === col("component"))
     }),
 
+    "q105_best_of_cluster" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // BEST-of-cluster retention: q78's near-dup components, but the
+      // kept representative is the HIGHEST-QUALITY member (fluency
+      // score, bit-exact cross-engine per q79) with doc_id as the tie
+      // break — the curation rule when "first seen" should lose to
+      // "best written". Rank inside each component via one window; at
+      // scale components are bounded (near-dup clusters), so the window
+      // partition never spans a corpus.
+      import org.apache.spark.sql.expressions.Window
+      val docs = t(s, d, "documents")
+      val banded = graft.pipeline.Dedup.banded(docs, "doc_id")
+      val a = banded.as("a"); val b = banded.as("b")
+      val cand = a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      val feat = docs.select(col("doc_id"), gf.word_shingles(col("text"), lit(3)).as("sh"))
+      val pairs = cand
+        .join(feat.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(feat.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val comps = graft.pipeline.Dedup.connectedComponents(pairs)
+      val qual = docs.select(col("doc_id"),
+        graft.pipeline.TrigramLangId.fluency(col("text")).as("fluency"))
+      comps.join(qual, Seq("doc_id"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("component"))
+          .orderBy(col("fluency").desc, col("doc_id"))))
+        .select(col("doc_id"), col("component"), col("fluency"),
+          (col("rn") === 1).as("kept"))
+    }),
+
     "q86_leakage_safe_split" -> ((s, d) => {
       graft.functions.registerAll(s)
       // train/val/test assignment keyed on the near-dup COMPONENT (q78's
@@ -3532,6 +3564,27 @@ object SparkEntry {
          |SELECT CAST(a AS BIGINT) AS doc_id, CAST(min(b) AS BIGINT) AS component,
          |  (a = min(b)) AS kept
          |FROM r GROUP BY a""".stripMargin,
+
+    // q78's component closure + q79's bit-exact fluency, ranked per
+    // component by (fluency DESC, doc_id) — the same window both engines
+    // evaluate over bit-identical doubles
+    "q105_best_of_cluster" ->
+      s"""WITH RECURSIVE $neardupClosureCtes,
+         |comp AS (SELECT CAST(a AS BIGINT) AS doc_id, CAST(min(b) AS BIGINT) AS component
+         |  FROM r GROUP BY a),
+         |scored AS (
+         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS len,
+         |    ${graft.pipeline.TrigramLangId.scoreSql("text")}
+         |  FROM documents),
+         |flu AS (SELECT doc_id,
+         |    CASE WHEN len < 3 THEN 0.0E0
+         |         ELSE greatest(s1, s2, s3, s4) / (len - 2) END AS fluency
+         |  FROM scored),
+         |ranked AS (SELECT c.doc_id, c.component, f.fluency,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY f.fluency DESC, c.doc_id) AS rn
+         |  FROM comp c JOIN flu f USING (doc_id))
+         |SELECT doc_id, component, fluency, rn = 1 AS kept FROM ranked""".stripMargin,
 
     // full PQ replay: four per-subspace trainers (shared md5 id-sample,
     // dot-argmax, quantized means), codes, query ADC tables, subspace-
