@@ -136,7 +136,8 @@ object Bench {
         // the documented exemption from median-of-N; cross-window min
         // still guards them.
         val runs =
-          if (name == "q74_streaming_neardup" || name == "q92_streaming_budget_join") 1
+          if (name == "q74_streaming_neardup" || name == "q92_streaming_budget_join" ||
+              name == "q106_streaming_sketch") 1
           else runsPer
         val times = (1 to runs).flatMap { _ =>
           val t0 = System.nanoTime()

@@ -1930,6 +1930,53 @@ object SparkEntry {
           StructField("host", StringType), StructField("grant_id", LongType))))
     }),
 
+    // ---- third streaming CORRECTNESS row: SKETCHES ON A STREAM. The HLL
+    // register build runs as a streaming complete-mode aggregation (state
+    // = exactly the m registers — the O(m)-state summary an ingest
+    // pipeline maintains continuously) under AvailableNow; the final
+    // emitted register table is the graded frame and must be IDENTICAL
+    // to the batch sketch over the same rows (n_register_mismatch = 0,
+    // computed in-engine vs the batch twin; register values replayed by
+    // the oracle from raw text). ----
+    "q106_streaming_sketch" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      import graft.pipeline.Sketch
+      val dir = graft.data.Fixtures.streamDocsDir(s, d)
+      val stream = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+        .where(col("doc_id") =!= lit(graft.data.Fixtures.StreamSentinelId))
+      val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = Sketch.hllRegisters(stream, col("text"))
+          .writeStream.outputMode("complete")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            // complete mode re-emits the whole register table per
+            // trigger — keep only the final emission
+            acc.clear()
+            batch.select(col("idx").cast("long"), col("m").cast("int")).collect()
+              .foreach(r => acc.add((r.getLong(0), r.getInt(1))))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      import scala.jdk.CollectionConverters._
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+      val streamed = s.createDataFrame(
+        acc.asScala.toSeq.map { case (i, m) => Row(i, m) }.asJava,
+        StructType(Seq(StructField("idx", LongType), StructField("m", IntegerType))))
+      val direct = Sketch.hllRegisters(t(s, d, "documents"), col("text"))
+      val mis = streamed.select(col("idx"), col("m").as("ma"))
+        .join(direct.select(col("idx"), col("m").as("mb")), Seq("idx"), "full")
+        .select(when(coalesce(col("ma"), lit(0)) === coalesce(col("mb"), lit(0)), 0L)
+          .otherwise(1L).as("bad"))
+        .agg(coalesce(sum(col("bad")), lit(0L)).as("n_register_mismatch"))
+      streamed.crossJoin(mis)
+    }),
+
     "q84_bottomk_sample" -> ((s, d) => {
       graft.functions.registerAll(s)
       // deterministic uniform sample: 100 docs with the smallest content
@@ -3132,6 +3179,21 @@ object SparkEntry {
          |  FROM draws GROUP BY doc_id, lang, w)
          |SELECT doc_id, lang, w, priority FROM pr
          |ORDER BY priority, doc_id LIMIT 150""".stripMargin,
+
+    // streaming-sketch replay: the register table re-derived from raw
+    // text (q83/q97 machinery); the engine's streamed registers must
+    // match it value-for-value and report zero mismatch vs its own
+    // batch twin
+    "q106_streaming_sketch" ->
+      s"""WITH hh AS (SELECT ${fnvSql("text")} AS h FROM documents),
+         |rr AS (SELECT
+         |    CAST(h // 288230376151711744 AS BIGINT) AS idx,
+         |    CASE WHEN (h * 64) % $Wrap64 = 0 THEN ${graft.pipeline.Sketch.HllMaxRank}
+         |         ELSE CAST(65 - length(bin((h * 64) % $Wrap64)) AS INT) END AS rank
+         |  FROM hh)
+         |SELECT idx, CAST(max(rank) AS INT) AS m,
+         |  CAST(0 AS BIGINT) AS n_register_mismatch
+         |FROM rr GROUP BY idx""".stripMargin,
 
     // the same canonicalization chain generated from Urls' constants
     "q80_url_canonical" ->
