@@ -609,6 +609,36 @@ object SparkEntry {
           (col("cms_est") >= col("exact_n")).as("never_under"))
     }),
 
+    "q107_cms_merge" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // CMS MERGEABILITY driver-certified (the q97 pattern for the
+      // frequency sketch): rows sharded 4 ways by URL hash, one
+      // depth x width counter table per shard, union = counter-wise SUM
+      // (Sketch.cmsMerge) — exact-additive, so the merged table must be
+      // cell-identical to the sketch built directly on all rows
+      // (n_counter_mismatch = 0 graded), and estimates from the MERGED
+      // sketch keep the one-sided guarantee per key (never_under).
+      import graft.pipeline.Sketch
+      val hosts = pages(s, d).select(col("url"),
+        regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("k"))
+      val byShard = Sketch.countMinBy(hosts,
+        pmod(gf.hash_text(col("url")), lit(4L)), col("k"))
+      val merged = Sketch.cmsMerge(byShard)
+      val direct = Sketch.countMin(hosts.select(col("k")), col("k"))
+      val mis = merged.select(col("j"), col("bucket"), col("cnt").as("ca"))
+        .join(direct.select(col("j"), col("bucket"), col("cnt").as("cb")),
+          Seq("j", "bucket"), "full")
+        .select(when(coalesce(col("ca"), lit(0L)) === coalesce(col("cb"), lit(0L)), 0L)
+          .otherwise(1L).as("bad"))
+        .agg(coalesce(sum(col("bad")), lit(0L)).as("n_counter_mismatch"))
+      val exact = hosts.groupBy(col("k")).agg(count(lit(1)).as("exact_n"))
+      Sketch.cmsEstimates(merged, exact.select(col("k")))
+        .join(exact, Seq("k"))
+        .select(col("k").as("host"), col("exact_n"), col("cms_est"),
+          (col("cms_est") >= col("exact_n")).as("never_under"))
+        .crossJoin(mis)
+    }),
+
     "q83_hll_distinct" -> ((s, d) => {
       graft.functions.registerAll(s)
       // HyperLogLog host cardinality (pipeline.Sketch): 64 registers from
@@ -2949,6 +2979,31 @@ object SparkEntry {
       |exact AS (SELECT k, count(*) AS exact_n FROM hosts GROUP BY k)
       |SELECT exact.k AS host, exact_n, CAST(cms_est AS BIGINT) AS cms_est,
       |  (cms_est >= exact_n) AS never_under
+      |FROM exact JOIN est ON est.k = exact.k""".stripMargin),
+
+    // CMS merge replayed both ways: per-shard counters summed vs the
+    // direct table (exact-additive identity -> mismatch recomputed in
+    // SQL), estimates from the MERGED counters
+    "q107_cms_merge" -> (pagesCte + s""",
+      |hosts AS (SELECT url, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS k FROM pages),
+      |hh AS (SELECT k, CAST(${fnvSql("url")} % 4 AS BIGINT) AS grp, ${fnvSql("k")} AS h FROM hosts),
+      |b AS (SELECT k, grp, j,
+      |    CAST(${mix64Sql("xor(h, CAST(j AS HUGEINT))")} % 1024 AS BIGINT) AS bucket
+      |  FROM hh CROSS JOIN unnest([0,1,2,3]) AS t(j)),
+      |byshard AS (SELECT grp, j, bucket, count(*) AS cnt FROM b GROUP BY grp, j, bucket),
+      |merged AS (SELECT j, bucket, sum(cnt) AS cnt FROM byshard GROUP BY j, bucket),
+      |direct AS (SELECT j, bucket, count(*) AS cnt FROM b GROUP BY j, bucket),
+      |mis AS (SELECT CAST(coalesce(sum(
+      |    CASE WHEN coalesce(a.cnt, 0) = coalesce(d.cnt, 0) THEN 0 ELSE 1 END), 0) AS BIGINT)
+      |    AS n_counter_mismatch
+      |  FROM merged a FULL JOIN direct d USING (j, bucket)),
+      |ks AS (SELECT DISTINCT k, j, bucket FROM b),
+      |est AS (SELECT ks.k, min(c.cnt) AS cms_est
+      |        FROM ks JOIN merged c USING (j, bucket) GROUP BY ks.k),
+      |exact AS (SELECT k, count(*) AS exact_n FROM hosts GROUP BY k)
+      |SELECT exact.k AS host, exact_n, CAST(cms_est AS BIGINT) AS cms_est,
+      |  (cms_est >= exact_n) AS never_under,
+      |  (SELECT n_counter_mismatch FROM mis) AS n_counter_mismatch
       |FROM exact JOIN est ON est.k = exact.k""".stripMargin),
 
     // HLL replayed end-to-end: register indexes/ranks from the same

@@ -50,6 +50,25 @@ object Sketch {
       .groupBy(col("k"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
 
+  /** Per-group CMS counter tables (q107): [[countMin]] keyed by `grp` —
+    * the partial sketch each executor holds over its input slice. */
+  def countMinBy(df: DataFrame, grp: Column, key: Column,
+                 depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(width > 0 && (width & (width - 1)) == 0, s"width must be a power of 2, got $width")
+    df.select(grp.as("grp"), key.as("k"))
+      .withColumn("j", explode(array((0 until depth).map(lit): _*)))
+      .select(col("grp"), col("j"), bucket(col("k"), col("j"), width).as("bucket"))
+      .groupBy(col("grp"), col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS UNION (q107): counter-wise SUM over per-group sketches — unlike
+    * HLL's idempotent max, the CMS merge is an exact-additive
+    * distributive aggregate, so the merged table is IDENTICAL (cell for
+    * cell) to the sketch built directly on the union; q107 grades that
+    * identity. */
+  def cmsMerge(countersBy: DataFrame): DataFrame =
+    countersBy.groupBy(col("j"), col("bucket")).agg(sum(col("cnt")).as("cnt"))
+
   // ---- HyperLogLog (q83): p = 6 -> m = 64 registers ----------------------
 
   val HllP = 6

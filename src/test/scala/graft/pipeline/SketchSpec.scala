@@ -53,6 +53,19 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("CMS merge: counter-wise sum of ANY sharding is cell-identical to the direct sketch") {
+    val keys = (0 until 400).flatMap(i => Seq.fill(i % 5 + 1)(s"host-${i % 60}"))
+    val df = keys.zipWithIndex.map { case (k, i) => (k, i.toLong) }.toDF("k", "rid")
+    val direct = Sketch.countMin(df, $"k").collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for (nShards <- Seq(2, 3, 7)) {
+      val byShard = Sketch.countMinBy(df, pmod($"rid", lit(nShards.toLong)), $"k")
+      val merged = Sketch.cmsMerge(byShard).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(merged == direct, s"CMS merge diverged from direct at nShards=$nShards")
+    }
+  }
+
   test("HLL merge: register-wise max of ANY sharding == the direct sketch; any reduce tree") {
     val rnd = new scala.util.Random(19)
     val keys = (0 until 400).map(i => s"host-${rnd.nextInt(120)}.example")
