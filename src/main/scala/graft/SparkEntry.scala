@@ -787,6 +787,33 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("lang"), col("w"), col("priority"))
     }),
 
+    "q108_range_partition" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // deterministic range-partitioned global sort (the TeraSort
+      // primitive a 100-TB ORDER BY needs): boundaries come from a
+      // value-INDEPENDENT k=64 bottom-k-by-id-hash sample (one
+      // TakeOrderedAndProject, driver holds O(k)), every row buckets
+      // map-side against the literal boundary array, and bucket order
+      // is global (v, id) order — certified per bucket by mono_ok
+      // (previous bucket's max <= this bucket's min, never violable by
+      // construction because ties split on doc_id). bal_pct grades the
+      // sample-quality balance the shuffle would see.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id").as("id"), length(col("text")).cast("long").as("v"))
+      val nBuckets = 8
+      val bounds = graft.pipeline.Sample.rangeBoundaries(docs, k = 64, nBuckets = nBuckets)
+      val total = docs.count()
+      val agg = docs
+        .withColumn("bucket", graft.pipeline.Sample.rangeBucket(col("v"), col("id"), bounds))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      agg.select(col("bucket"), col("n_rows"), col("min_v"), col("max_v"),
+        coalesce(lag(col("max_v"), 1).over(w) <= col("min_v"), lit(true)).as("mono_ok"),
+        floor(lit(100L) * col("n_rows") * lit(nBuckets.toLong) / lit(total)).cast("long")
+          .as("bal_pct"))
+    }),
+
     "q79_trigram_fluency" -> ((s, d) => {
       // per-doc fluency/quality: best-language mean trigram log-prob
       // (near the unseen floor = gibberish) + the predicted language —
@@ -3234,6 +3261,28 @@ object SparkEntry {
          |  FROM draws GROUP BY doc_id, lang, w)
          |SELECT doc_id, lang, w, priority FROM pr
          |ORDER BY priority, doc_id LIMIT 150""".stripMargin,
+
+    // range-sort replay: the value-independent sample re-drawn by
+    // sign-adjusted mix64 order, boundaries as order statistics of the
+    // sample at ranks i*k/B, bucket = count of boundaries lexicographically
+    // <= (v, id), then the same per-bucket stats + mono certificate
+    "q108_range_partition" ->
+      s"""WITH d AS (SELECT doc_id AS id, CAST(length(text) AS BIGINT) AS v FROM documents),
+         |hs AS (SELECT id, v, ${mix64Sql("CAST(id AS HUGEINT)")} AS hu FROM d),
+         |smp AS (SELECT id, v FROM hs
+         |  ORDER BY CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+         |    THEN hu - $Wrap64 ELSE hu END AS BIGINT), id LIMIT 64),
+         |rk AS (SELECT id, v, row_number() OVER (ORDER BY v, id) AS rn FROM smp),
+         |bd AS (SELECT v AS bv, id AS bid FROM rk WHERE rn IN (8,16,24,32,40,48,56)),
+         |asg AS (SELECT d.id, d.v,
+         |    (SELECT count(*) FROM bd WHERE bv < d.v OR (bv = d.v AND bid <= d.id)) AS bucket
+         |  FROM d),
+         |agg AS (SELECT bucket, count(*) AS n_rows, min(v) AS min_v, max(v) AS max_v
+         |  FROM asg GROUP BY bucket)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_rows, min_v, max_v,
+         |  coalesce(lag(max_v) OVER (ORDER BY bucket) <= min_v, true) AS mono_ok,
+         |  CAST((100 * n_rows * 8) // (SELECT count(*) FROM d) AS BIGINT) AS bal_pct
+         |FROM agg""".stripMargin,
 
     // streaming-sketch replay: the register table re-derived from raw
     // text (q83/q97 machinery); the engine's streamed registers must

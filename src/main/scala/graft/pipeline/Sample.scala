@@ -56,6 +56,51 @@ object Sample {
       .limit(k)
   }
 
+  /**
+   * Sketch-derived range boundaries (q108) — the primitive behind a
+   * 100-TB global sort (TeraSort shape): instead of sorting all rows,
+   * sample k rows VALUE-INDEPENDENTLY (bottom-k by id-hash, so the
+   * sample is deterministic, mergeable and unbiased no matter how `v`
+   * is distributed across partitions), sort only the sample, and read
+   * off nBuckets-1 order-statistic boundaries. Every row then maps to
+   * a bucket with NO shuffle (broadcast-literal comparison against the
+   * boundary array), and bucket order IS global (v, id) order — the
+   * contract Spark's own RangePartitioner provides, made deterministic
+   * (its reservoir sample is seeded per partition count).
+   *
+   * Input columns: `id` (unique long, the sample seed + tiebreak) and
+   * `v` (the sort key, long). Returns the nBuckets-1 (v, id) boundary
+   * pairs in ascending order; driver state is O(k) — the k-row sample
+   * is a TakeOrderedAndProject (per-partition heaps), never a sort.
+   */
+  def rangeBoundaries(df: DataFrame, k: Int, nBuckets: Int): Seq[(Long, Long)] = {
+    import org.apache.spark.sql.expressions.Window
+    val sample = df.select(col("id"), col("v"), gf.mix64(col("id")).as("__h"))
+      .orderBy(col("__h"), col("id")).limit(k)
+    // rank the k-row sample by the SORT key; boundary i sits at
+    // 1-based rank i*k/nBuckets (the window is over exactly k rows)
+    val ranks = (1 until nBuckets).map(i => i * k / nBuckets)
+    sample.withColumn("__rn", row_number().over(Window.orderBy(col("v"), col("id"))))
+      .where(col("__rn").isin(ranks: _*))
+      .orderBy(col("v"), col("id"))
+      .select(col("v"), col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+
+  /** Bucket assignment against [[rangeBoundaries]] output: the count of
+    * boundaries lexicographically <= (v, id). Pure map-side expression
+    * over two literal arrays — rows shuffle at most ONCE (on the bucket
+    * id itself) in the sort that consumes this. */
+  def rangeBucket(v: Column, id: Column, bounds: Seq[(Long, Long)]): Column = {
+    require(bounds.nonEmpty, "rangeBucket needs >= 1 boundary (nBuckets >= 2)")
+    val bv = typedLit(bounds.map(_._1))
+    val bid = typedLit(bounds.map(_._2))
+    size(filter(sequence(lit(0), lit(bounds.size - 1)), i => {
+      val b_v = element_at(bv, i + 1); val b_id = element_at(bid, i + 1)
+      b_v < v || (b_v === v && b_id <= id)
+    })).cast("long")
+  }
+
   /** Per-group bottom-k over a precomputed hash column `h` (ties by
     * `tiebreak`): the KMV sample. One group-keyed shuffle; the window's
     * per-partition sort touches only each group's rows. */
