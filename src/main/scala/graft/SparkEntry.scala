@@ -814,6 +814,38 @@ object SparkEntry {
           .as("bal_pct"))
     }),
 
+    "q109_cdc_chunks" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // content-defined chunking dedup (the Gear/FastCDC shape): chunk
+      // boundaries from a rolling byte hash, so an insertion re-syncs
+      // within 64 bytes + one chunk — the blob-level dedup a multimodal
+      // 100-TB store runs where fixed blocks would never re-align. Cuts
+      // and chunk hashes are computed MAP-SIDE by the codegen'd
+      // gear_cuts kernel; only (doc_id, hash, len) ints shuffle — the
+      // text/bytes never do. Graded per doc: chunk count and how many
+      // bytes sit in corpus-duplicated chunks.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val bd = concat(array(lit(0)), gf.gear_cuts(col("text"), lit(6)),
+        array(length(col("text"))))
+      val chunks = docs.select(col("doc_id"), col("text"), bd.as("bd"))
+        .select(col("doc_id"), col("text"), col("bd"),
+          explode(sequence(lit(1), size(col("bd")) - 1)).as("ci"))
+        .select(col("doc_id"),
+          (element_at(col("bd"), col("ci") + 1) - element_at(col("bd"), col("ci")))
+            .as("clen"),
+          gf.hash_text(col("text").substr(
+            element_at(col("bd"), col("ci")) + 1,
+            element_at(col("bd"), col("ci") + 1) - element_at(col("bd"), col("ci"))))
+            .as("chash"))
+      val counts = chunks.groupBy(col("chash")).agg(count(lit(1)).as("cnt"))
+      chunks.join(counts, Seq("chash"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("clen")).as("total_bytes"),
+          sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+          sum(when(col("cnt") >= 2, col("clen").cast("long")).otherwise(0L)).as("dup_bytes"))
+    }),
+
     "q79_trigram_fluency" -> ((s, d) => {
       // per-doc fluency/quality: best-language mean trigram log-prob
       // (near the unseen floor = gibberish) + the predicted language —
@@ -3261,6 +3293,39 @@ object SparkEntry {
          |  FROM draws GROUP BY doc_id, lang, w)
          |SELECT doc_id, lang, w, priority FROM pr
          |ORDER BY priority, doc_id LIMIT 150""".stripMargin,
+
+    // CDC replay: the rolling Gear hash re-derived POSITION-LOCALLY —
+    // h_i as the explicit 64-term windowed sum (gear(b_j) << (i-j) mod
+    // 2^64, products split 32/32), cuts where the low 6 bits vanish,
+    // chunk spans via a lag window over the bounds, chunk hashes via
+    // the shared FNV replay over the substring
+    "q109_cdc_chunks" ->
+      s"""WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |b AS (SELECT doc_id, g.i, ord(substring(text, g.i, 1)) AS byte
+         |  FROM docs, unnest(generate_series(1, n)) g(i)),
+         |gt AS (SELECT byte, ${mix64Sql("CAST(byte AS HUGEINT)")} AS gv
+         |  FROM (SELECT DISTINCT byte FROM b)),
+         |bg AS (SELECT b.doc_id, b.i, gt.gv FROM b JOIN gt USING (byte)),
+         |h AS (SELECT a.doc_id, a.i,
+         |    sum(${mulmod64("c.gv", "CAST(1 AS HUGEINT) << (a.i - c.i)")}) % $Wrap64 AS hv
+         |  FROM bg a JOIN bg c ON c.doc_id = a.doc_id AND c.i BETWEEN a.i - 63 AND a.i
+         |  GROUP BY a.doc_id, a.i),
+         |cuts AS (SELECT h.doc_id, h.i FROM h JOIN docs USING (doc_id)
+         |  WHERE hv % 64 = 0 AND h.i < docs.n),
+         |bounds AS (SELECT doc_id, 0 AS p FROM docs
+         |  UNION ALL SELECT doc_id, i FROM cuts
+         |  UNION ALL SELECT doc_id, n FROM docs),
+         |spans AS (SELECT doc_id, p AS e,
+         |    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS st FROM bounds),
+         |chunks AS (SELECT s.doc_id, s.e - s.st AS clen,
+         |    ${fnvSql("substring(d.text, s.st + 1, s.e - s.st)")} AS chash
+         |  FROM spans s JOIN docs d USING (doc_id) WHERE s.st IS NOT NULL),
+         |counts AS (SELECT chash, count(*) AS cnt FROM chunks GROUP BY chash)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(clen) AS BIGINT) AS total_bytes,
+         |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+         |  CAST(sum(CASE WHEN cnt >= 2 THEN clen ELSE 0 END) AS BIGINT) AS dup_bytes
+         |FROM chunks JOIN counts USING (chash) GROUP BY doc_id""".stripMargin,
 
     // range-sort replay: the value-independent sample re-drawn by
     // sign-adjusted mix64 order, boundaries as order statistics of the

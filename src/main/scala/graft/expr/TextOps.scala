@@ -35,6 +35,41 @@ object TextOps {
     hashBytes(b, 0, b.length)
   }
 
+  // ---- content-defined chunking ----
+  /** Per-byte gear values: mix64 of the byte value (the only constant the
+    * SQL replay shares is the published splitmix64 mixer). */
+  private val GearTable: Array[Long] = Array.tabulate(256)(b => mix64(b.toLong))
+
+  /**
+   * Gear content-defined chunk cut positions (the rolling-hash family of
+   * FastCDC, Xia et al., USENIX ATC'16). Rolling state
+   * `h = (h << 1) + gear(byte) mod 2^64` equals the WINDOWED sum
+   * `sum over the last 64 bytes of gear(b_j) << (i - j)` — bytes older
+   * than 64 shift out mod 2^64 — so every position's cut decision is
+   * position-LOCAL: independently replayable (the SQL oracle computes
+   * each h_i as that 64-term sum, no sequential state), and a byte edit
+   * re-syncs chunk boundaries within 64 bytes + one chunk — the property
+   * that makes CDC dedup robust to insertions where fixed-size blocks
+   * are not. Cut after byte i (1-based) when the low `maskBits` bits of
+   * h_i are zero and i < length (expected chunk = 2^maskBits bytes).
+   * FastCDC's min/max chunk bounds are deliberately omitted: they make
+   * cuts sequentially dependent (greedy suppression), killing
+   * independent replay; at scale they'd be a cheap per-doc post-pass.
+   */
+  def gearCuts(s: UTF8String, maskBits: Int): ArrayData = {
+    val b = s.getBytes
+    val mask = (1L << maskBits) - 1L
+    var h = 0L
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < b.length) {
+      h = (h << 1) + GearTable(b(i) & 0xff)
+      if ((h & mask) == 0L && i + 1 < b.length) buf += (i + 1)
+      i += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
   // ---- tokenization ----
   /** Whitespace tokens. */
   /** Unicode NFC (canonical composition) — the text-normalization stage

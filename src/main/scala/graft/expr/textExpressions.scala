@@ -127,6 +127,21 @@ case class CharShingles(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** Gear content-defined chunk cut positions (1-based, interior only). */
+case class GearCuts(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType, IntegerType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "gear_cuts"
+  override protected def nullSafeEval(s: Any, m: Any): Any =
+    TextOps.gearCuts(s.asInstanceOf[UTF8String], m.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (s, m) => s"graft.expr.TextOps.gearCuts($s, $m)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GearCuts =
+    copy(l, r)
+}
+
 /** Sorted-distinct hashes of char n-grams (no gram strings materialized). */
 case class HashedCharShingles(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

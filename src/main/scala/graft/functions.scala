@@ -75,6 +75,8 @@ object functions {
     toCol(HashedCharShingles(toExpr(s), toExpr(n)))
   def hashed_word_shingles(s: Column, n: Column): Column =
     toCol(HashedWordShingles(toExpr(s), toExpr(n)))
+  def gear_cuts(s: Column, maskBits: Column): Column =
+    toCol(GearCuts(toExpr(s), toExpr(maskBits)))
   def sorted_jaccard(a: Column, b: Column): Column =
     toCol(SortedJaccard(toExpr(a), toExpr(b)))
   def minhash(shingles: Column, k: Column, seed: Column): Column =
@@ -132,6 +134,7 @@ object functions {
     "char_shingles" -> ((e => CharShingles(e(0), e(1))): Builder),
     "hashed_char_shingles" -> ((e => HashedCharShingles(e(0), e(1))): Builder),
     "hashed_word_shingles" -> ((e => HashedWordShingles(e(0), e(1))): Builder),
+    "gear_cuts" -> ((e => GearCuts(e(0), e(1))): Builder),
     "sorted_jaccard" -> ((e => SortedJaccard(e(0), e(1))): Builder),
     "minhash" -> ((e => MinHash(e(0), e(1), e(2))): Builder),
     "lsh_bands" -> ((e => LshBands(e(0), e(1))): Builder),

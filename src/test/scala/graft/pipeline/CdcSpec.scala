@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expr.TextOps
+
+/** Gear content-defined chunking (q109): the rolling kernel equals the
+  * position-local windowed sum (what the SQL oracle replays), boundaries
+  * re-sync after edits, and shared spans produce shared chunk hashes. */
+class CdcSpec extends AnyFunSuite {
+
+  private def cuts(s: String, maskBits: Int): Seq[Int] = {
+    val a = TextOps.gearCuts(UTF8String.fromString(s), maskBits)
+    (0 until a.numElements()).map(a.getInt)
+  }
+
+  /** Chunk substrings between consecutive bounds. */
+  private def chunks(s: String, maskBits: Int): Seq[String] = {
+    val bs = 0 +: cuts(s, maskBits) :+ s.length
+    bs.sliding(2).map { case Seq(a, b) => s.substring(a, b) }.toSeq
+  }
+
+  private def randomAscii(rnd: scala.util.Random, n: Int): String =
+    (0 until n).map(_ => (32 + rnd.nextInt(95)).toChar).mkString
+
+  test("rolling hash == explicit 64-term windowed sum at every position") {
+    val rnd = new scala.util.Random(109)
+    val gear = Array.tabulate(256)(b => TextOps.mix64(b.toLong))
+    for (_ <- 0 until 20) {
+      val s = randomAscii(rnd, 50 + rnd.nextInt(400))
+      val bytes = s.getBytes("UTF-8")
+      // replica: h_i = sum over the last 64 bytes of gear(b_j) << (i-j)
+      val cutsWant = (1 until bytes.length).filter { i1 =>
+        val i = i1 - 1 // 0-based index of the last byte folded
+        var h = 0L
+        var j = math.max(0, i - 63)
+        while (j <= i) { h += gear(bytes(j) & 0xff) << (i - j); j += 1 }
+        (h & 63L) == 0L
+      }
+      assert(cuts(s, 6) == cutsWant, s"windowed-sum replica disagrees on: $s")
+    }
+  }
+
+  test("an insertion re-syncs boundaries: long shared suffix keeps its chunks") {
+    val rnd = new scala.util.Random(77)
+    val base = randomAscii(rnd, 2000)
+    val edited = "XYZ" + base
+    val a = chunks(base, 6).toSet
+    val b = chunks(edited, 6).toSet
+    val shared = a.intersect(b)
+    // everything beyond the first ~64 bytes + one chunk must re-align
+    assert(shared.map(_.length).sum >= 1500,
+      s"only ${shared.map(_.length).sum} shared bytes after a 3-byte prefix edit")
+  }
+
+  test("fixed-size blocks would NOT re-sync (the property CDC buys)") {
+    val rnd = new scala.util.Random(78)
+    val base = randomAscii(rnd, 2000)
+    val edited = "Q" + base
+    val fixedA = base.grouped(64).toSet
+    val fixedB = edited.grouped(64).toSet
+    // random content: a 1-byte shift leaves essentially no shared block
+    assert(fixedA.intersect(fixedB).map(_.length).sum <= 128)
+  }
+
+  test("docs sharing a long middle span share chunk hashes") {
+    val rnd = new scala.util.Random(42)
+    val span = randomAscii(rnd, 800)
+    val d1 = randomAscii(rnd, 300) + span + randomAscii(rnd, 150)
+    val d2 = randomAscii(rnd, 90) + span + randomAscii(rnd, 400)
+    val shared = chunks(d1, 6).toSet.intersect(chunks(d2, 6).toSet)
+    assert(shared.map(_.length).sum >= 500,
+      s"shared-span chunks cover only ${shared.map(_.length).sum} bytes")
+  }
+
+  test("degenerate inputs: no interior cut on tiny strings; bounds well-formed") {
+    assert(cuts("a", 6).isEmpty)
+    assert(cuts("ab", 6).forall(c => c >= 1 && c < 2))
+    val s = randomAscii(new scala.util.Random(5), 300)
+    val cs = cuts(s, 6)
+    assert(cs == cs.sorted && cs.distinct == cs)
+    assert(cs.forall(c => c >= 1 && c < s.length))
+    assert(chunks(s, 6).mkString == s) // chunks partition the string
+  }
+}
