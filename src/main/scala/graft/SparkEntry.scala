@@ -931,6 +931,38 @@ object SparkEntry {
         .withColumn("kept", col("doc_id") === col("component"))
     }),
 
+    "q110_incremental_components" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // incremental near-dup component maintenance: the first half of the
+      // corpus (by arrival id) was clustered in a previous run; the
+      // second half arrives as an increment and is folded in using ONLY
+      // the persisted state — labels, band table, per-doc shingle state.
+      // Old text is never re-read and the old pair graph never recomputed
+      // (old↔old connectivity travels as label edges). Certified by the
+      // oracle closing the FULL verified pair graph recursively — the
+      // incremental result must equal the direct one, doc for doc.
+      val docs = t(s, d, "documents")
+      val splitId = docs.agg(max(col("doc_id"))).head.getLong(0) / 2
+      val old = docs.filter(col("doc_id") <= splitId)
+      val inc = docs.filter(col("doc_id") > splitId)
+      // state as the previous run would have persisted it
+      val oldBands = graft.pipeline.Dedup.banded(old, "doc_id")
+      val oldSh = graft.pipeline.Dedup.shingleState(old)
+      val oldCand = oldBands.as("a").join(oldBands.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      val oldPairs = oldCand
+        .join(oldSh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(oldSh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val oldLabels = graft.pipeline.Dedup.connectedComponents(oldPairs)
+      graft.pipeline.Dedup.incrementalComponents(oldLabels, oldBands, oldSh, inc)
+        .withColumn("kept", col("doc_id") === col("component"))
+        .withColumn("is_new", col("doc_id") > lit(splitId))
+    }),
+
     "q105_best_of_cluster" -> ((s, d) => {
       graft.functions.registerAll(s)
       // BEST-of-cluster retention: q78's near-dup components, but the
@@ -3794,6 +3826,16 @@ object SparkEntry {
       s"""WITH RECURSIVE $neardupClosureCtes
          |SELECT CAST(a AS BIGINT) AS doc_id, CAST(min(b) AS BIGINT) AS component,
          |  (a = min(b)) AS kept
+         |FROM r GROUP BY a""".stripMargin,
+
+    // the incremental certificate: the DIRECT closure over the full
+    // verified pair graph — the engine's label-edge merge must reproduce
+    // it doc for doc (is_new derives the same arrival split)
+    "q110_incremental_components" ->
+      s"""WITH RECURSIVE $neardupClosureCtes
+         |SELECT CAST(a AS BIGINT) AS doc_id, CAST(min(b) AS BIGINT) AS component,
+         |  (a = min(b)) AS kept,
+         |  a > (SELECT max(doc_id) // 2 FROM documents) AS is_new
          |FROM r GROUP BY a""".stripMargin,
 
     // q78's component closure + q79's bit-exact fluency, ranked per

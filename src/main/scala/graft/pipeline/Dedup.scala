@@ -263,6 +263,55 @@ object Dedup {
    * own singleton component (component = doc_id). Thresholds are
    * percentage points of `mix64(component) pmod 100`.
    */
+  /**
+   * Incremental connected components (q110): fold a corpus INCREMENT into
+   * existing near-dup component labels without recomputing — or even
+   * touching — the old corpus's pair graph. State persisted by the
+   * previous run: `oldLabels` (doc_id, component), `oldBands`
+   * (doc_id, band — the same state q87 keeps), `oldSh` (doc_id, sh —
+   * the per-doc feature state candidate verification needs; at 100 TB
+   * this would be hashed shingles, same machinery — q27 proves the hash
+   * replay). New edges are only new↔new (band self-join WITHIN the
+   * increment) and old↔new (increment bands joined against the old band
+   * state); old↔old connectivity is carried by LABEL EDGES
+   * (doc -> its component min), so the merge shuffles O(increment edges
+   * + old labels) — never the old pair graph, never old text. The
+   * result provably equals the direct components over the full corpus
+   * (contraction argument: label edges preserve exactly the old
+   * components' connectivity), which is what the q110 oracle certifies
+   * by closing the FULL verified pair graph recursively.
+   */
+  def incrementalComponents(oldLabels: DataFrame, oldBands: DataFrame, oldSh: DataFrame,
+                            newDocs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val nb = banded(newDocs, "doc_id")
+    val nsh = shingleState(newDocs)
+    def verify(cand: DataFrame, fa: DataFrame, fb: DataFrame): DataFrame =
+      cand.join(fa.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(fb.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= threshold)
+        .select(col("doc_a"), col("doc_b"))
+    val nn = verify(
+      nb.as("a").join(nb.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct(),
+      nsh, nsh)
+    val on = verify(
+      oldBands.as("o").join(nb.as("n"), col("o.band") === col("n.band"))
+        .select(col("o.doc_id").as("doc_a"), col("n.doc_id").as("doc_b")).distinct(),
+      oldSh, nsh)
+    val labelEdges = oldLabels.filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id").as("doc_a"), col("component").as("doc_b"))
+    connectedComponents(nn.unionByName(on).unionByName(labelEdges))
+  }
+
+  /** The per-doc feature state [[incrementalComponents]] verifies with:
+    * word-[[ShingleN]]-shingle arrays, shingle-less docs excluded (the
+    * same rule as [[banded]] — they are never near-dup candidates). */
+  def shingleState(docs: DataFrame): DataFrame =
+    docs.withColumn("sh", gf.word_shingles(col("text"), lit(ShingleN)))
+      .filter(size(col("sh")) > 0).select(col("doc_id"), col("sh"))
+
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
                        trainPct: Int = 90, valPct: Int = 5): DataFrame = {
     require(trainPct + valPct < 100, "need a nonempty test slice")
