@@ -882,6 +882,46 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    "q111_minhash_estimate" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // sketch-quality certification for the minhash funnel (the q93
+      // pattern applied to dedup): for every LSH candidate pair, the
+      // signature's own jaccard ESTIMATE (agreeing slots / 64) is graded
+      // next to the exact shingle jaccard and the estimation error —
+      // driver-checking the statistical machinery the 100-TB funnel
+      // trusts when it verifies candidates by signature alone. est is
+      // dyadic (n/64) and exact a single rational division, so both
+      // replay bit-exact.
+      val docs = t(s, d, "documents")
+      val feats = docs
+        .withColumn("sh0", gf.word_shingles(col("text"), lit(3)))
+        .filter(size(col("sh0")) > 0)
+        .select(col("doc_id"),
+          gf.minhash(col("sh0"), lit(graft.pipeline.Dedup.MinhashK),
+            lit(graft.pipeline.Dedup.MinhashSeed)).as("sig"),
+          col("sh0"))
+      val banded = graft.pipeline.Dedup.banded(docs, "doc_id")
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      cand
+        .join(feats.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+          col("sh0").as("sh_a")), Seq("doc_a"))
+        .join(feats.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+          col("sh0").as("sh_b")), Seq("doc_b"))
+        .withColumn("n_agree",
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+            b => b)).cast("long"))
+        .withColumn("exact_jaccard",
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        .select(col("doc_a"), col("doc_b"), col("n_agree"),
+          round(col("n_agree").cast("double") / lit(64.0d), 6).as("est_jaccard"),
+          round(col("exact_jaccard"), 6).as("exact_jaccard"),
+          round(abs(col("n_agree").cast("double") / lit(64.0d) - col("exact_jaccard")), 6)
+            .as("est_err"))
+    }),
+
     "q76_minhash_utf8" -> ((s, d) => {
       graft.functions.registerAll(s)
       import s.implicits._
@@ -3623,6 +3663,34 @@ object SparkEntry {
          |FROM pairs JOIN feat fa ON fa.doc_id = doc_a JOIN feat fb ON fb.doc_id = doc_b
          |WHERE CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
          |    (fa.n + fb.n - len(list_intersect(fa.sh, fb.sh))) >= 0.5""".stripMargin,
+
+    // sketch-estimate replay: per-slot signature agreement from the same
+    // sig CTE the band keys derive from (slot minima already
+    // sign-adjusted), exact jaccard as the q25 rational, error as the
+    // identical double ops (n/64 is dyadic-exact; one division each)
+    "q111_minhash_estimate" ->
+      s"""WITH ${minhashBandCtes()},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |agree AS (
+         |  SELECT c.doc_a, c.doc_b,
+         |    sum(CASE WHEN sa.g = sb.g THEN 1 ELSE 0 END) AS n_agree
+         |  FROM cand c
+         |  JOIN sig sa ON sa.doc_id = c.doc_a
+         |  JOIN sig sb ON sb.doc_id = c.doc_b AND sb.j = sa.j
+         |  GROUP BY c.doc_a, c.doc_b),
+         |feat AS (SELECT doc_id, list_distinct(list(s)) AS sh, count(DISTINCT s) AS n
+         |         FROM sh GROUP BY doc_id)
+         |SELECT g.doc_a, g.doc_b, CAST(g.n_agree AS BIGINT) AS n_agree,
+         |  round(CAST(g.n_agree AS DOUBLE) / 64.0E0, 6) AS est_jaccard,
+         |  round(CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
+         |    (fa.n + fb.n - len(list_intersect(fa.sh, fb.sh))), 6) AS exact_jaccard,
+         |  round(abs(CAST(g.n_agree AS DOUBLE) / 64.0E0 -
+         |    CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
+         |    (fa.n + fb.n - len(list_intersect(fa.sh, fb.sh)))), 6) AS est_err
+         |FROM agree g JOIN feat fa ON fa.doc_id = g.doc_a
+         |JOIN feat fb ON fb.doc_id = g.doc_b""".stripMargin,
 
     // SimHash, FULLY replayed: per-token FNV hash, the 64 majority-vote
     // bits, the 4x16-bit chunk band keys (arith-shift + mask == unsigned
