@@ -825,18 +825,7 @@ object SparkEntry {
       // text/bytes never do. Graded per doc: chunk count and how many
       // bytes sit in corpus-duplicated chunks.
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val bd = concat(array(lit(0)), gf.gear_cuts(col("text"), lit(6)),
-        array(length(col("text"))))
-      val chunks = docs.select(col("doc_id"), col("text"), bd.as("bd"))
-        .select(col("doc_id"), col("text"), col("bd"),
-          explode(sequence(lit(1), size(col("bd")) - 1)).as("ci"))
-        .select(col("doc_id"),
-          (element_at(col("bd"), col("ci") + 1) - element_at(col("bd"), col("ci")))
-            .as("clen"),
-          gf.hash_text(col("text").substr(
-            element_at(col("bd"), col("ci")) + 1,
-            element_at(col("bd"), col("ci") + 1) - element_at(col("bd"), col("ci"))))
-            .as("chash"))
+      val chunks = graft.pipeline.Cdc.chunks(docs, col("text"), 6, "doc_id")
       val counts = chunks.groupBy(col("chash")).agg(count(lit(1)).as("cnt"))
       chunks.join(counts, Seq("chash"))
         .groupBy(col("doc_id"))
@@ -844,6 +833,28 @@ object SparkEntry {
           sum(col("clen")).as("total_bytes"),
           sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
           sum(when(col("cnt") >= 2, col("clen").cast("long")).otherwise(0L)).as("dup_bytes"))
+    }),
+
+    "q112_cdc_delta" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // chunk-level snapshot delta (the rsync/dedup-store accounting):
+      // v2 of every doc is v1 with a patch INSERTED at the midpoint; the
+      // CDC chunker re-syncs after the insertion, so a new snapshot
+      // stores only the churn bytes — exactly what sizes an incremental
+      // 100-TB crawl commit on a chunk-dedup store. Both versions chunk
+      // map-side (q109's kernel); the compare is one (doc_id, chash)
+      // full join of count tables. Graded per doc: total v2 bytes,
+      // bytes reused from v1, churn bytes, v2 chunk count. v1 is the
+      // doc text at 4x length (snapshot blobs are KB-scale, the fixture
+      // rows are not) so the re-sync effect is visible in the grade.
+      val docs = t(s, d, "documents").select(col("doc_id"),
+        concat_ws(" ", col("text"), col("text"), col("text"), col("text")).as("text"))
+      val half = floor(length(col("text")) / lit(2)).cast("int")
+      val v2 = docs.select(col("doc_id"),
+        concat(col("text").substr(lit(1), half),
+          lit(" INSERTED PATCH SEGMENT "),
+          col("text").substr(half + 1, length(col("text")))).as("text"))
+      graft.pipeline.Cdc.deltaStats(docs, v2, col("text"), 6)
     }),
 
     "q79_trigram_fluency" -> ((s, d) => {
@@ -2410,6 +2421,39 @@ object SparkEntry {
     * — shared by the q78 components oracle and the q86 split oracle
     * (single definition, like minhashBandCtes itself). Must be spliced
     * after a `WITH RECURSIVE`. */
+  /** CDC chunk replay over `src` (must provide `text` + the `keys`
+    * columns): every position's Gear hash as the explicit 64-term
+    * windowed sum (32/32-split products, mod 2^64), cuts where the TOP
+    * 6 bits vanish (hv < 2^58), spans via a lag window, FNV chunk hashes —
+    * producing `cchunks(keys..., clen, chash)`. */
+  private def cdcChunkCtes(src: String, keys: Seq[String]): String = {
+    val ks = keys.mkString(", ")
+    val ka = keys.map(k => s"a.$k").mkString(", ")
+    val onEq = keys.map(k => s"c.$k = a.$k").mkString(" AND ")
+    val sdEq = keys.map(k => s"sp.$k = d.$k").mkString(" AND ")
+    val sks = keys.map(k => s"sp.$k").mkString(", ")
+    s"""cdocs AS (SELECT $ks, text, length(text) AS n FROM $src),
+       |cbyte AS (SELECT $ks, g.i, ord(substring(text, g.i, 1)) AS byte
+       |  FROM cdocs, unnest(generate_series(1, n)) g(i)),
+       |cgear AS (SELECT byte, ${mix64Sql("CAST(byte AS HUGEINT)")} AS gv
+       |  FROM (SELECT DISTINCT byte FROM cbyte)),
+       |cbg AS (SELECT $ks, i, gv FROM cbyte JOIN cgear USING (byte)),
+       |ch AS (SELECT $ka, a.i,
+       |    sum(${mulmod64("c.gv", "CAST(1 AS HUGEINT) << (a.i - c.i)")}) % $Wrap64 AS hv
+       |  FROM cbg a JOIN cbg c ON $onEq AND c.i BETWEEN a.i - 63 AND a.i
+       |  GROUP BY $ka, a.i),
+       |ccuts AS (SELECT $ks, i FROM ch JOIN cdocs USING ($ks)
+       |  WHERE hv // ${1L << 58} = 0 AND i < n),
+       |cbounds AS (SELECT $ks, 0 AS p FROM cdocs
+       |  UNION ALL SELECT $ks, i FROM ccuts
+       |  UNION ALL SELECT $ks, n FROM cdocs),
+       |cspans AS (SELECT $ks, p AS e,
+       |    lag(p) OVER (PARTITION BY $ks ORDER BY p) AS st FROM cbounds),
+       |cchunks AS (SELECT $sks, sp.e - sp.st AS clen,
+       |    ${fnvSql("substring(d.text, sp.st + 1, sp.e - sp.st)")} AS chash
+       |  FROM cspans sp JOIN cdocs d ON $sdEq WHERE sp.st IS NOT NULL)""".stripMargin
+  }
+
   private def neardupClosureCtes: String =
     s"""${minhashBandCtes()},
        |cand AS (
@@ -3372,32 +3416,44 @@ object SparkEntry {
     // chunk spans via a lag window over the bounds, chunk hashes via
     // the shared FNV replay over the substring
     "q109_cdc_chunks" ->
-      s"""WITH docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
-         |b AS (SELECT doc_id, g.i, ord(substring(text, g.i, 1)) AS byte
-         |  FROM docs, unnest(generate_series(1, n)) g(i)),
-         |gt AS (SELECT byte, ${mix64Sql("CAST(byte AS HUGEINT)")} AS gv
-         |  FROM (SELECT DISTINCT byte FROM b)),
-         |bg AS (SELECT b.doc_id, b.i, gt.gv FROM b JOIN gt USING (byte)),
-         |h AS (SELECT a.doc_id, a.i,
-         |    sum(${mulmod64("c.gv", "CAST(1 AS HUGEINT) << (a.i - c.i)")}) % $Wrap64 AS hv
-         |  FROM bg a JOIN bg c ON c.doc_id = a.doc_id AND c.i BETWEEN a.i - 63 AND a.i
-         |  GROUP BY a.doc_id, a.i),
-         |cuts AS (SELECT h.doc_id, h.i FROM h JOIN docs USING (doc_id)
-         |  WHERE hv % 64 = 0 AND h.i < docs.n),
-         |bounds AS (SELECT doc_id, 0 AS p FROM docs
-         |  UNION ALL SELECT doc_id, i FROM cuts
-         |  UNION ALL SELECT doc_id, n FROM docs),
-         |spans AS (SELECT doc_id, p AS e,
-         |    lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS st FROM bounds),
-         |chunks AS (SELECT s.doc_id, s.e - s.st AS clen,
-         |    ${fnvSql("substring(d.text, s.st + 1, s.e - s.st)")} AS chash
-         |  FROM spans s JOIN docs d USING (doc_id) WHERE s.st IS NOT NULL),
-         |counts AS (SELECT chash, count(*) AS cnt FROM chunks GROUP BY chash)
+      s"""WITH ${cdcChunkCtes("documents", Seq("doc_id"))},
+         |counts AS (SELECT chash, count(*) AS cnt FROM cchunks GROUP BY chash)
          |SELECT doc_id, count(*) AS n_chunks,
          |  CAST(sum(clen) AS BIGINT) AS total_bytes,
          |  CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
          |  CAST(sum(CASE WHEN cnt >= 2 THEN clen ELSE 0 END) AS BIGINT) AS dup_bytes
-         |FROM chunks JOIN counts USING (chash) GROUP BY doc_id""".stripMargin,
+         |FROM cchunks JOIN counts USING (chash) GROUP BY doc_id""".stripMargin,
+
+    // delta replay: v2 derived by the identical midpoint-insert
+    // expression, both versions chunked by the same windowed-sum
+    // machinery (ver carried through the CTEs), multiset reuse/churn
+    // via a per-(doc, hash) full join
+    "q112_cdc_delta" ->
+      s"""WITH v1 AS (SELECT doc_id,
+         |    text || ' ' || text || ' ' || text || ' ' || text AS text
+         |  FROM documents),
+         |vsrc AS (
+         |  SELECT doc_id, 1 AS ver, text FROM v1
+         |  UNION ALL
+         |  SELECT doc_id, 2 AS ver,
+         |    substring(text, 1, length(text) // 2) || ' INSERTED PATCH SEGMENT ' ||
+         |    substring(text, length(text) // 2 + 1, length(text)) AS text
+         |  FROM v1),
+         |${cdcChunkCtes("vsrc", Seq("doc_id", "ver"))},
+         |cnt AS (SELECT doc_id, ver, chash, count(*) AS c, min(clen) AS clen
+         |  FROM cchunks GROUP BY doc_id, ver, chash),
+         |j AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |    coalesce(a.c, 0) AS c1, coalesce(b.c, 0) AS c2,
+         |    coalesce(b.clen, a.clen) AS clen
+         |  FROM (SELECT * FROM cnt WHERE ver = 1) a
+         |  FULL JOIN (SELECT * FROM cnt WHERE ver = 2) b
+         |    ON a.doc_id = b.doc_id AND a.chash = b.chash)
+         |SELECT doc_id,
+         |  CAST(sum(c2 * clen) AS BIGINT) AS total_v2_bytes,
+         |  CAST(sum(least(c1, c2) * clen) AS BIGINT) AS reuse_bytes,
+         |  CAST(sum(greatest(c2 - c1, 0) * clen) AS BIGINT) AS churn_bytes,
+         |  CAST(sum(c2) AS BIGINT) AS n_chunks_v2
+         |FROM j GROUP BY doc_id""".stripMargin,
 
     // range-sort replay: the value-independent sample re-drawn by
     // sign-adjusted mix64 order, boundaries as order statistics of the

@@ -50,21 +50,26 @@ object TextOps {
    * each h_i as that 64-term sum, no sequential state), and a byte edit
    * re-syncs chunk boundaries within 64 bytes + one chunk — the property
    * that makes CDC dedup robust to insertions where fixed-size blocks
-   * are not. Cut after byte i (1-based) when the low `maskBits` bits of
+   * are not. Cut after byte i (1-based) when the TOP `maskBits` bits of
    * h_i are zero and i < length (expected chunk = 2^maskBits bytes).
+   * The mask sits on the HIGH bits deliberately: bit k of h_i sees only
+   * the last k+1 bytes, so a low-bit mask would make the cut decision a
+   * function of just `maskBits` bytes — degenerate on low-entropy text
+   * (measured 1-in-179 cuts on word-repetitive prose vs 1-in-65 with
+   * the high mask; FastCDC's spread masks exist for the same reason).
    * FastCDC's min/max chunk bounds are deliberately omitted: they make
    * cuts sequentially dependent (greedy suppression), killing
    * independent replay; at scale they'd be a cheap per-doc post-pass.
    */
   def gearCuts(s: UTF8String, maskBits: Int): ArrayData = {
     val b = s.getBytes
-    val mask = (1L << maskBits) - 1L
+    val shift = 64 - maskBits
     var h = 0L
     val buf = scala.collection.mutable.ArrayBuffer.empty[Any]
     var i = 0
     while (i < b.length) {
       h = (h << 1) + GearTable(b(i) & 0xff)
-      if ((h & mask) == 0L && i + 1 < b.length) buf += (i + 1)
+      if ((h >>> shift) == 0L && i + 1 < b.length) buf += (i + 1)
       i += 1
     }
     new GenericArrayData(buf.toArray)

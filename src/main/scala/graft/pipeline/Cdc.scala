@@ -1,0 +1,65 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{functions => gf}
+
+/**
+ * Content-defined chunking (q109/q112) — the Gear rolling-hash family of
+ * FastCDC (Xia et al., USENIX ATC'16), see `expr.GearCuts` for why the
+ * cut rule is position-local and independently replayable. Chunking and
+ * chunk hashing are pure map-side kernel work; everything downstream
+ * shuffles (id, hash, len) ints only — text/bytes never move.
+ */
+object Cdc {
+
+  /** One row per chunk of `textCol`: passthrough columns + `clen` (chunk
+    * byte length, int) + `chash` (FNV+mix64 of the chunk text). */
+  def chunks(docs: DataFrame, textCol: Column, maskBits: Int,
+             passthrough: String*): DataFrame = {
+    val bd = concat(array(lit(0)), gf.gear_cuts(textCol, lit(maskBits)),
+      array(length(textCol)))
+    docs.select(passthrough.map(col) :+ textCol.as("__t") :+ bd.as("__bd"): _*)
+      .select(passthrough.map(col) :+ col("__t") :+ col("__bd") :+
+        explode(sequence(lit(1), size(col("__bd")) - 1)).as("__ci"): _*)
+      .select(passthrough.map(col) :+
+        (element_at(col("__bd"), col("__ci") + 1) - element_at(col("__bd"), col("__ci")))
+          .as("clen") :+
+        gf.hash_text(col("__t").substr(
+          element_at(col("__bd"), col("__ci")) + 1,
+          element_at(col("__bd"), col("__ci") + 1) - element_at(col("__bd"), col("__ci"))))
+          .as("chash"): _*)
+  }
+
+  /**
+   * Chunk-level delta between two versions of each doc (q112): the
+   * rsync/dedup-store accounting that sizes an incremental snapshot —
+   * bytes of v2 chunks already present in v1 are REUSED (stored once);
+   * only the rest is CHURN a new snapshot must write. Multiset
+   * semantics per (doc, chunk hash): reuse = min(c1, c2) instances,
+   * churn = the v2 instances beyond v1's count. Both sides chunk
+   * map-side; the compare is one (doc_id, chash)-keyed full join of
+   * count tables.
+   */
+  def deltaStats(v1: DataFrame, v2: DataFrame, textCol: Column,
+                 maskBits: Int): DataFrame = {
+    def counts(df: DataFrame): DataFrame =
+      chunks(df, textCol, maskBits, "doc_id")
+        .groupBy(col("doc_id"), col("chash"))
+        .agg(count(lit(1)).as("c"), first(col("clen")).as("clen"))
+    val a = counts(v1).select(col("doc_id"), col("chash"), col("c").as("c1"),
+      col("clen").as("len1"))
+    val b = counts(v2).select(col("doc_id"), col("chash"), col("c").as("c2"),
+      col("clen").as("len2"))
+    a.join(b, Seq("doc_id", "chash"), "full")
+      .select(col("doc_id"),
+        coalesce(col("c1"), lit(0L)).as("c1"), coalesce(col("c2"), lit(0L)).as("c2"),
+        coalesce(col("len2"), col("len1")).as("clen"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c2") * col("clen")).as("total_v2_bytes"),
+        sum(least(col("c1"), col("c2")) * col("clen")).as("reuse_bytes"),
+        sum(greatest(col("c2") - col("c1"), lit(0L)) * col("clen")).as("churn_bytes"),
+        sum(col("c2")).as("n_chunks_v2"))
+  }
+}

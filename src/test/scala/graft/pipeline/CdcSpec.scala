@@ -36,7 +36,7 @@ class CdcSpec extends AnyFunSuite {
         var h = 0L
         var j = math.max(0, i - 63)
         while (j <= i) { h += gear(bytes(j) & 0xff) << (i - j); j += 1 }
-        (h & 63L) == 0L
+        (h >>> 58) == 0L
       }
       assert(cuts(s, 6) == cutsWant, s"windowed-sum replica disagrees on: $s")
     }
@@ -72,6 +72,35 @@ class CdcSpec extends AnyFunSuite {
     val shared = chunks(d1, 6).toSet.intersect(chunks(d2, 6).toSet)
     assert(shared.map(_.length).sum >= 500,
       s"shared-span chunks cover only ${shared.map(_.length).sum} bytes")
+  }
+
+  test("deltaStats: midpoint insertion churns a bounded slice, accounting is exact") {
+    val spark = graft.expr.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(112)
+    val v1 = (0L until 20L).map(i => (i, randomAscii(rnd, 1500))).toDF("doc_id", "text")
+    val half = floor(length(col("text")) / lit(2)).cast("int")
+    val v2 = v1.select(col("doc_id"),
+      concat(col("text").substr(lit(1), half), lit(" PATCH "),
+        col("text").substr(half + 1, length(col("text")))).as("text"))
+    val got = Cdc.deltaStats(v1, v2, col("text"), 6).collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      val total = r.getAs[Long]("total_v2_bytes")
+      val reuse = r.getAs[Long]("reuse_bytes")
+      val churn = r.getAs[Long]("churn_bytes")
+      assert(reuse + churn == total, "reuse + churn must partition v2 bytes")
+      assert(total == 1507, s"v2 length should be 1500 + 7, got $total")
+      // the insertion invalidates the containing chunk + <= 64 bytes of
+      // window pollution; everything else re-syncs. Generous bound: the
+      // churn must stay a small slice, never the whole doc.
+      assert(churn < 600, s"doc ${r.getLong(0)}: churn $churn of $total")
+    }
+    val churnSum = got.map(_.getAs[Long]("churn_bytes")).sum
+    val totalSum = got.map(_.getAs[Long]("total_v2_bytes")).sum
+    assert(churnSum.toDouble / totalSum < 0.25,
+      s"aggregate churn ${churnSum.toDouble / totalSum} too high for a 7-byte edit")
   }
 
   test("degenerate inputs: no interior cut on tiny strings; bounds well-formed") {
