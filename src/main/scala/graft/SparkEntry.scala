@@ -893,6 +893,42 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    "q113_contamination_matrix" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // cross-source contamination matrix: the audit a data team runs
+      // BEFORE mixing corpora — for each unordered source pair, how many
+      // verified near-dup pairs straddle it and how many distinct docs
+      // on each side are implicated (mixing both sources would duplicate
+      // those). Same funnel as q25 (band candidates -> exact verify),
+      // one extra broadcast-able source-dim join; the matrix is
+      // O(sources^2) rows no matter the corpus size.
+      val docs = t(s, d, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      val banded = graft.pipeline.Dedup.banded(docs, "doc_id")
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      val sh = graft.pipeline.Dedup.shingleState(docs)
+      val pairs = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), Seq("doc_b"))
+        .filter(col("source_a") =!= col("source_b"))
+        .select(least(col("source_a"), col("source_b")).as("src_a"),
+          greatest(col("source_a"), col("source_b")).as("src_b"),
+          when(col("source_a") < col("source_b"), col("doc_a")).otherwise(col("doc_b")).as("da"),
+          when(col("source_a") < col("source_b"), col("doc_b")).otherwise(col("doc_a")).as("db"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("da")).as("n_docs_a"),
+          countDistinct(col("db")).as("n_docs_b"))
+    }),
+
     "q111_minhash_estimate" -> ((s, d) => {
       graft.functions.registerAll(s)
       // sketch-quality certification for the minhash funnel (the q93
@@ -3719,6 +3755,33 @@ object SparkEntry {
          |FROM pairs JOIN feat fa ON fa.doc_id = doc_a JOIN feat fb ON fb.doc_id = doc_b
          |WHERE CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
          |    (fa.n + fb.n - len(list_intersect(fa.sh, fb.sh))) >= 0.5""".stripMargin,
+
+    // contamination replay: the q25 candidate+verify CTEs with a source
+    // join; pair orientation normalized by least/greatest on the source
+    "q113_contamination_matrix" ->
+      s"""WITH ${minhashBandCtes()},
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM keys a JOIN keys b ON a.bk = b.bk AND a.doc_id < b.doc_id),
+         |feat AS (SELECT doc_id, list_distinct(list(s)) AS sh, count(DISTINCT s) AS n
+         |         FROM sh GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM cand
+         |  JOIN feat fa ON fa.doc_id = doc_a JOIN feat fb ON fb.doc_id = doc_b
+         |  WHERE CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
+         |      (fa.n + fb.n - len(list_intersect(fa.sh, fb.sh))) >= 0.5),
+         |ps AS (
+         |  SELECT least(sa.source, sb.source) AS src_a,
+         |    greatest(sa.source, sb.source) AS src_b,
+         |    CASE WHEN sa.source < sb.source THEN doc_a ELSE doc_b END AS da,
+         |    CASE WHEN sa.source < sb.source THEN doc_b ELSE doc_a END AS db
+         |  FROM pairs
+         |  JOIN documents sa ON sa.doc_id = doc_a
+         |  JOIN documents sb ON sb.doc_id = doc_b
+         |  WHERE sa.source <> sb.source)
+         |SELECT src_a, src_b, count(*) AS n_pairs,
+         |  count(DISTINCT da) AS n_docs_a, count(DISTINCT db) AS n_docs_b
+         |FROM ps GROUP BY src_a, src_b""".stripMargin,
 
     // sketch-estimate replay: per-slot signature agreement from the same
     // sig CTE the band keys derive from (slot minima already
