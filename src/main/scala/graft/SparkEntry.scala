@@ -893,6 +893,47 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    "q114_bpe_train" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // BPE tokenizer TRAINING (pipeline.Bpe): six merge rounds, each a
+      // lead-window pair count weighted by word frequency + a 1-row
+      // driver argmax + a relational greedy rewrite (greedy == even
+      // offsets inside islands of consecutive match positions). The
+      // graded frame is the trained artifact itself: the ordered merge
+      // table. Trainer state is O(vocab), independent of corpus size.
+      val (merges, _) = graft.pipeline.Bpe.train(t(s, d, "documents"), rounds = 6)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("merge_rank",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("s1",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("s2",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("total",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = merges.map { case (r, a, b, n) =>
+        org.apache.spark.sql.Row(r, a, b, n) }
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    }),
+
+    "q115_bpe_tokenize" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // the trained tokenizer APPLIED: final subword segmentation of the
+      // 20 most frequent corpus words after q114's six merges (the
+      // order-sensitive concat pair from q91: array_join over the
+      // pos-sorted collect vs string_agg ORDER BY)
+      val docs = t(s, d, "documents")
+      val (_, syms) = graft.pipeline.Bpe.train(docs, rounds = 6)
+      val top = graft.pipeline.Bpe.wordFreq(docs)
+        .orderBy(col("n").desc, col("word")).limit(20)
+      syms.join(top.select(col("word")), Seq("word"))
+        .groupBy(col("word"))
+        .agg(first(col("n")).as("n"),
+          array_join(transform(array_sort(collect_list(struct(col("pos"), col("sym")))),
+            p => p.getField("sym")), "|").as("toks"))
+        .select(col("word"), col("n"), col("toks"))
+    }),
+
     "q113_contamination_matrix" -> ((s, d) => {
       graft.functions.registerAll(s)
       // cross-source contamination matrix: the audit a data team runs
@@ -2457,6 +2498,46 @@ object SparkEntry {
     * — shared by the q78 components oracle and the q86 split oracle
     * (single definition, like minhashBandCtes itself). Must be spliced
     * after a `WITH RECURSIVE`. */
+  /** BPE training replay (q114/q115): `rounds` merge rounds as chained
+    * CTEs — per round a lead-window pair count over s{r-1}, the 1-row
+    * argmax b{r} (total DESC, s1, s2), match islands, even-offset
+    * selection (== greedy left-to-right), and the rewritten s{r}. */
+  private def bpeRoundCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""wtoks AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+         |    t -> t <> '')) AS word FROM documents),
+         |vocab AS MATERIALIZED (SELECT word, count(*) AS n FROM wtoks GROUP BY word),
+         |s0 AS MATERIALIZED (SELECT word, n, CAST(g.i AS BIGINT) AS pos, substring(word, g.i, 1) AS sym
+         |  FROM vocab, unnest(generate_series(1, length(word))) g(i))""".stripMargin)
+    for (r <- 1 to rounds) {
+      val p = r - 1
+      sb.append(s""",
+         |nx$r AS MATERIALIZED (SELECT word, n, pos, sym,
+         |  lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt FROM s$p),
+         |b$r AS MATERIALIZED (SELECT sym AS s1, nxt AS s2, sum(n) AS total FROM nx$r
+         |  WHERE nxt IS NOT NULL GROUP BY sym, nxt
+         |  ORDER BY total DESC, s1, s2 LIMIT 1),
+         |mm$r AS MATERIALIZED (SELECT word, pos,
+         |    pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS grp
+         |  FROM nx$r WHERE sym = (SELECT s1 FROM b$r) AND nxt = (SELECT s2 FROM b$r)),
+         |sel$r AS MATERIALIZED (SELECT word, pos FROM (
+         |    SELECT word, pos,
+         |      row_number() OVER (PARTITION BY word, grp ORDER BY pos) - 1 AS off
+         |    FROM mm$r) WHERE off % 2 = 0),
+         |s$r AS MATERIALIZED (SELECT word, n,
+         |    row_number() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         |    CASE WHEN start_pos IS NOT NULL THEN sym || nxt ELSE sym END AS sym
+         |  FROM (
+         |    SELECT m.word, m.n, m.pos, m.sym, m.nxt, st.pos AS start_pos
+         |    FROM nx$r m
+         |    LEFT JOIN sel$r st ON st.word = m.word AND st.pos = m.pos
+         |    LEFT JOIN sel$r cn ON cn.word = m.word AND cn.pos = m.pos - 1
+         |    WHERE cn.pos IS NULL))""".stripMargin)
+    }
+    sb.toString
+  }
+
   /** CDC chunk replay over `src` (must provide `text` + the `keys`
     * columns): every position's Gear hash as the explicit 64-term
     * windowed sum (32/32-split products, mod 2^64), cuts where the TOP
@@ -3755,6 +3836,25 @@ object SparkEntry {
          |FROM pairs JOIN feat fa ON fa.doc_id = doc_a JOIN feat fb ON fb.doc_id = doc_b
          |WHERE CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
          |    (fa.n + fb.n - len(list_intersect(fa.sh, fb.sh))) >= 0.5""".stripMargin,
+
+    // BPE replay: the full six-round trainer re-run in SQL; the graded
+    // frame is the ordered merge table the rounds produce
+    "q114_bpe_train" ->
+      s"""WITH ${bpeRoundCtes(6)}
+         |SELECT * FROM (
+         |  ${(1 to 6).map(r =>
+              s"SELECT $r AS merge_rank, s1, s2, CAST(total AS BIGINT) AS total FROM b$r")
+              .mkString("\n  UNION ALL ")})""".stripMargin,
+
+    // tokenizer application replay: the same trainer CTEs, final state
+    // s6 aggregated with the q91 order-sensitive concat pair
+    "q115_bpe_tokenize" ->
+      s"""WITH ${bpeRoundCtes(6)},
+         |top AS (SELECT word, n FROM vocab ORDER BY n DESC, word LIMIT 20)
+         |SELECT t.word, CAST(t.n AS BIGINT) AS n,
+         |  string_agg(s.sym, '|' ORDER BY s.pos) AS toks
+         |FROM top t JOIN s6 s ON s.word = t.word
+         |GROUP BY t.word, t.n""".stripMargin,
 
     // contamination replay: the q25 candidate+verify CTEs with a source
     // join; pair orientation normalized by least/greatest on the source
