@@ -15,20 +15,24 @@ import graft.{functions => gf}
 object Cdc {
 
   /** One row per chunk of `textCol`: passthrough columns + `clen` (chunk
-    * byte length, int) + `chash` (FNV+mix64 of the chunk text). */
+    * byte length, int) + `chash` (FNV+mix64 of the chunk text). The cut
+    * array is bound as a HOF lambda variable (the CLAUDE.md
+    * CollapseProject rule) so the gear_cuts kernel runs ONCE PER DOC —
+    * the collapsed-projection form re-printed it per (chunk row x
+    * reference) in the executed plan. */
   def chunks(docs: DataFrame, textCol: Column, maskBits: Int,
              passthrough: String*): DataFrame = {
     val bd = concat(array(lit(0)), gf.gear_cuts(textCol, lit(maskBits)),
       array(length(textCol)))
-    docs.select(passthrough.map(col) :+ textCol.as("__t") :+ bd.as("__bd"): _*)
-      .select(passthrough.map(col) :+ col("__t") :+ col("__bd") :+
-        explode(sequence(lit(1), size(col("__bd")) - 1)).as("__ci"): _*)
+    val spans = element_at(transform(array(bd), b =>
+      transform(sequence(lit(1), size(b) - 1), i =>
+        struct((element_at(b, i + 1) - element_at(b, i)).as("clen"),
+          element_at(b, i).as("st")))), 1)
+    docs.select(passthrough.map(col) :+ textCol.as("__t") :+
+        explode(spans).as("__sp"): _*)
       .select(passthrough.map(col) :+
-        (element_at(col("__bd"), col("__ci") + 1) - element_at(col("__bd"), col("__ci")))
-          .as("clen") :+
-        gf.hash_text(col("__t").substr(
-          element_at(col("__bd"), col("__ci")) + 1,
-          element_at(col("__bd"), col("__ci") + 1) - element_at(col("__bd"), col("__ci"))))
+        col("__sp.clen").as("clen") :+
+        gf.hash_text(col("__t").substr(col("__sp.st") + 1, col("__sp.clen")))
           .as("chash"): _*)
   }
 
