@@ -893,6 +893,66 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    "q116_adaptive_gate" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      import org.apache.spark.sql.expressions.Window
+      // per-language ADAPTIVE quality gate: a fixed fluency threshold
+      // biases against whole languages (scores aren't comparable across
+      // charsets), so the cut is trained per language from the corpus
+      // itself — drop the worst quartile WITHIN each language. The
+      // decision is integer-exact (4*rank > n) over the bit-exact q79
+      // fluency ordering, so the whole gate replays.
+      val scored = t(s, d, "documents").select(col("doc_id"), col("lang"),
+        graft.pipeline.TrigramLangId.fluency(col("text")).as("fl"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("fl"), col("doc_id"))
+      scored
+        .withColumn("lang_rank", row_number().over(w))
+        .withColumn("n_lang", count(lit(1)).over(Window.partitionBy(col("lang"))))
+        .select(col("doc_id"), col("lang"), round(col("fl"), 6).as("fluency"),
+          col("lang_rank"), col("n_lang"),
+          (lit(4) * col("lang_rank") > col("n_lang")).as("kept"))
+    }),
+
+    "q117_simhash_estimate" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // sketch certification for the SimHash family (q111's pattern):
+      // for every chunk-banded candidate pair, the signature's bit
+      // agreement fraction (dyadic) graded next to the EXACT cosine of
+      // the token-count vectors it sketches — the angular-similarity
+      // contract random-hyperplane sketches carry. Exact cosine via a
+      // token-keyed join of count vectors (integers to the last
+      // division; sqrt is IEEE correctly-rounded, so cross-engine safe).
+      val docsT = t(s, d, "documents")
+      val sigs = docsT.select(col("doc_id"),
+        gf.simhash(gf.word_shingles(col("text"), lit(1))).as("sh"))
+      val banded = sigs.select(col("doc_id"), explode(array(
+        (0 until 4).map(i => concat(lit(i), lit(":"),
+          (shiftright(col("sh"), i * 16).bitwiseAND(lit(0xffffL))))): _*)).as("chunk"))
+      val pairs = banded.as("a").join(banded.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+      val tc = docsT.select(col("doc_id"),
+          explode(filter(split(trim(col("text")), "\\s+"), tk => tk =!= "")).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      val n2 = tc.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("n2"))
+      val dot = pairs
+        .join(tc.select(col("doc_id").as("doc_a"), col("tok"), col("c").as("ca")), Seq("doc_a"))
+        .join(tc.select(col("doc_id").as("doc_b"), col("tok"), col("c").as("cb")),
+          Seq("doc_b", "tok"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("ca") * col("cb")).as("dp"))
+      pairs
+        .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+        .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+        .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("n2a")), Seq("doc_a"))
+        .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("n2b")), Seq("doc_b"))
+        .join(dot, Seq("doc_a", "doc_b"), "left")
+        .withColumn("hamming", gf.hamming_dist(col("sh_a"), col("sh_b")))
+        .select(col("doc_a"), col("doc_b"), col("hamming"),
+          round((lit(64) - col("hamming")).cast("double") / lit(64.0d), 6).as("agree_frac"),
+          round(coalesce(col("dp"), lit(0L)).cast("double") /
+            sqrt((col("n2a") * col("n2b")).cast("double")), 6).as("exact_cos"))
+    }),
+
     "q114_bpe_train" -> ((s, d) => {
       graft.functions.registerAll(s)
       // BPE tokenizer TRAINING (pipeline.Bpe): six merge rounds, each a
@@ -3836,6 +3896,67 @@ object SparkEntry {
          |FROM pairs JOIN feat fa ON fa.doc_id = doc_a JOIN feat fb ON fb.doc_id = doc_b
          |WHERE CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
          |    (fa.n + fb.n - len(list_intersect(fa.sh, fb.sh))) >= 0.5""".stripMargin,
+
+    // adaptive-gate replay: the q79 bit-exact fluency fold, per-language
+    // rank/count windows, and the integer-exact 4*rank > n decision
+    "q116_adaptive_gate" ->
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS len,
+         |    ${graft.pipeline.TrigramLangId.scoreSql("text")}
+         |  FROM documents),
+         |fl AS (SELECT doc_id, lang,
+         |    CASE WHEN len < 3 THEN 0.0E0
+         |         ELSE greatest(s1, s2, s3, s4) / (len - 2) END AS fluency
+         |  FROM scored),
+         |r AS (SELECT doc_id, lang, fluency,
+         |    row_number() OVER (PARTITION BY lang ORDER BY fluency, doc_id) AS lang_rank,
+         |    count(*) OVER (PARTITION BY lang) AS n_lang
+         |  FROM fl)
+         |SELECT doc_id, lang, round(fluency, 6) AS fluency,
+         |  CAST(lang_rank AS INT) AS lang_rank, CAST(n_lang AS BIGINT) AS n_lang,
+         |  (4 * lang_rank > n_lang) AS kept
+         |FROM r""".stripMargin,
+
+    // simhash-estimate replay: q26's majority-vote signature CTEs (all
+    // candidates, no hamming cut), bit agreement as the dyadic fraction,
+    // exact cosine from token-count vectors (integer dot/norms, one
+    // division, IEEE sqrt)
+    "q117_simhash_estimate" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS s FROM documents),
+         |th AS (SELECT doc_id, ${fnvSql("s")} AS h FROM toks),
+         |bits AS (
+         |  SELECT doc_id, b.b,
+         |    CASE WHEN 2 * sum(CASE WHEN (h // power(2, b.b)::HUGEINT) % 2 = 1 THEN 1 ELSE 0 END)
+         |        > count(*)
+         |      THEN power(2, b.b)::HUGEINT ELSE 0::HUGEINT END AS bv
+         |  FROM th CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+         |  GROUP BY doc_id, b.b),
+         |sh AS (SELECT doc_id, sum(bv)::HUGEINT AS u FROM bits GROUP BY doc_id),
+         |chunks AS (
+         |  SELECT doc_id, concat(i, ':', CAST((u // power(2, 16*i)::HUGEINT) % 65536 AS BIGINT)) AS chunk
+         |  FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS i)),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.doc_id < b.doc_id),
+         |tc AS (SELECT doc_id, tok, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> t <> '')) AS tok FROM documents) GROUP BY doc_id, tok),
+         |nn AS (SELECT doc_id, sum(c*c) AS n2 FROM tc GROUP BY doc_id),
+         |dt AS (SELECT p.doc_a, p.doc_b, sum(a.c * b.c) AS dp
+         |  FROM pairs p JOIN tc a ON a.doc_id = p.doc_a
+         |  JOIN tc b ON b.doc_id = p.doc_b AND b.tok = a.tok
+         |  GROUP BY p.doc_a, p.doc_b)
+         |SELECT p.doc_a, p.doc_b,
+         |  CAST(bit_count(CAST(xor(sa.u, sb.u) AS UBIGINT)) AS INT) AS hamming,
+         |  round(CAST(64 - bit_count(CAST(xor(sa.u, sb.u) AS UBIGINT)) AS DOUBLE) / 64.0E0, 6)
+         |    AS agree_frac,
+         |  round(CAST(coalesce(d.dp, 0) AS DOUBLE) / sqrt(CAST(na.n2 * nb.n2 AS DOUBLE)), 6)
+         |    AS exact_cos
+         |FROM pairs p
+         |JOIN sh sa ON sa.doc_id = p.doc_a JOIN sh sb ON sb.doc_id = p.doc_b
+         |JOIN nn na ON na.doc_id = p.doc_a JOIN nn nb ON nb.doc_id = p.doc_b
+         |LEFT JOIN dt d ON d.doc_a = p.doc_a AND d.doc_b = p.doc_b""".stripMargin,
 
     // BPE replay: the full six-round trainer re-run in SQL; the graded
     // frame is the ordered merge table the rounds produce
