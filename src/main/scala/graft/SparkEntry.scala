@@ -893,6 +893,37 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    "q118_funnel" -> ((s, d) => {
+      // ordered conversion funnel (the match_recognize-shaped sequence
+      // analytic): per user the first view, the first click STRICTLY
+      // AFTER that view and within its 24h conversion window, the first
+      // purchase likewise after that click —
+      // three user-keyed conditional aggregations chained by joins, so
+      // a user-bucketed 100-TB event table runs every stage
+      // co-partitioned with zero extra exchanges. Stage reached and the
+      // exact conversion latency (microseconds, integer) are graded.
+      val ev = t(s, d, "events")
+      val users = ev.select(col("user_id")).distinct()
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val t2 = ev.filter(col("event_type") === "click").join(t1, Seq("user_id"))
+        .filter(col("ts") > col("t1") &&
+          col("ts") <= col("t1") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val t3 = ev.filter(col("event_type") === "purchase").join(t2, Seq("user_id"))
+        .filter(col("ts") > col("t2") &&
+          col("ts") <= col("t2") + expr("INTERVAL 24 HOURS"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      users.join(t1, Seq("user_id"), "left").join(t2, Seq("user_id"), "left")
+        .join(t3, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+            .when(col("t1").isNotNull, 1).otherwise(0).as("stage"),
+          when(col("t3").isNotNull,
+            unix_micros(col("t3").cast("timestamp")) -
+              unix_micros(col("t1").cast("timestamp"))).as("conv_us"))
+    }),
+
     "q116_adaptive_gate" -> ((s, d) => {
       graft.functions.registerAll(s)
       import org.apache.spark.sql.expressions.Window
@@ -3896,6 +3927,28 @@ object SparkEntry {
          |FROM pairs JOIN feat fa ON fa.doc_id = doc_a JOIN feat fb ON fb.doc_id = doc_b
          |WHERE CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
          |    (fa.n + fb.n - len(list_intersect(fa.sh, fb.sh))) >= 0.5""".stripMargin,
+
+    // funnel replay: identical chained conditional-min semantics, exact
+    // integer conversion latency via epoch_us
+    "q118_funnel" ->
+      s"""WITH t1 AS (SELECT user_id, min(ts) AS t1 FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+         |  JOIN t1 ON t1.user_id = e.user_id
+         |  WHERE e.event_type = 'click' AND e.ts > t1.t1
+         |    AND e.ts <= t1.t1 + INTERVAL 24 HOUR GROUP BY e.user_id),
+         |t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+         |  JOIN t2 ON t2.user_id = e.user_id
+         |  WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+         |    AND e.ts <= t2.t2 + INTERVAL 24 HOUR GROUP BY e.user_id)
+         |SELECT u.user_id, t1.t1, t2.t2, t3.t3,
+         |  CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3 WHEN t2.t2 IS NOT NULL THEN 2
+         |       WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END AS INT) AS stage,
+         |  CASE WHEN t3.t3 IS NOT NULL THEN epoch_us(t3.t3) - epoch_us(t1.t1) END AS conv_us
+         |FROM (SELECT DISTINCT user_id FROM events) u
+         |LEFT JOIN t1 ON t1.user_id = u.user_id
+         |LEFT JOIN t2 ON t2.user_id = u.user_id
+         |LEFT JOIN t3 ON t3.user_id = u.user_id""".stripMargin,
 
     // adaptive-gate replay: the q79 bit-exact fluency fold, per-language
     // rank/count windows, and the integer-exact 4*rank > n decision
