@@ -103,6 +103,23 @@ class CdcSpec extends AnyFunSuite {
       s"aggregate churn ${churnSum.toDouble / totalSum} too high for a 7-byte edit")
   }
 
+  test("plan pin: gear_cuts evaluates once per doc, inside the Generate") {
+    val spark = graft.expr.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = (0L until 50L).map(i => (i, randomAscii(new scala.util.Random(i), 400)))
+      .toDF("doc_id", "text")
+    val out = Cdc.chunks(df, col("text"), 6, "doc_id")
+    out.collect() // finalize AQE on this QueryExecution
+    val lines = out.queryExecution.executedPlan.toString.split("\n")
+      .filter(_.contains("gear_cuts"))
+    assert(lines.nonEmpty)
+    // the kernel must live in the Generate's input (once per doc), never
+    // in a downstream per-chunk projection (the CollapseProject rule)
+    lines.foreach(l => assert(l.contains("Generate"),
+      s"gear_cuts escaped the Generate into a per-chunk projection: $l"))
+  }
+
   test("degenerate inputs: no interior cut on tiny strings; bounds well-formed") {
     assert(cuts("a", 6).isEmpty)
     assert(cuts("ab", 6).forall(c => c >= 1 && c < 2))
