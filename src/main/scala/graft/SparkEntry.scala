@@ -893,6 +893,34 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    "q119_cohort_retention" -> ((s, d) => {
+      // weekly cohort retention: users grouped by the ISO week of their
+      // FIRST signup; retention week k = exact integer microsecond
+      // arithmetic (floor((ts - s0) / 1 week) — no date libs, no tz
+      // drift), distinct-active counts per (cohort, k) and the integer
+      // retained percent. Two user-keyed aggregations; co-partitioned
+      // on a user-bucketed 100-TB event table like q118.
+      val ev = t(s, d, "events")
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("s0"))
+      val cohorts = su.select(col("user_id"), col("s0"),
+        date_trunc("week", col("s0")).as("cohort_week"))
+      val sizes = cohorts.groupBy(col("cohort_week"))
+        .agg(countDistinct(col("user_id")).as("cohort_size"))
+      val act = ev.join(cohorts, Seq("user_id"))
+        .filter(col("ts") >= col("s0"))
+        .select(col("cohort_week"), col("user_id"),
+          floor((unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("s0").cast("timestamp"))) / lit(604800000000L))
+            .cast("long").as("k"))
+        .groupBy(col("cohort_week"), col("k"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+      act.join(sizes, Seq("cohort_week"))
+        .select(col("cohort_week"), col("k"), col("n_active"), col("cohort_size"),
+          floor(lit(100L) * col("n_active") / col("cohort_size")).cast("long")
+            .as("ret_pct"))
+    }),
+
     "q118_funnel" -> ((s, d) => {
       // ordered conversion funnel (the match_recognize-shaped sequence
       // analytic): per user the first view, the first click STRICTLY
@@ -1023,6 +1051,25 @@ object SparkEntry {
           array_join(transform(array_sort(collect_list(struct(col("pos"), col("sym")))),
             p => p.getField("sym")), "|").as("toks"))
         .select(col("word"), col("n"), col("toks"))
+    }),
+
+    "q120_band_skew_audit" -> ((s, d) => {
+      graft.functions.registerAll(s)
+      // LSH band-skew audit: the join-cost ESTIMATOR an operator runs
+      // before launching the 100-TB dedup self-join — a band of size s
+      // implies s*(s-1)/2 candidate pairs, so the band-size histogram IS
+      // the shuffle-cost forecast (and the skew alarm: one hot band key
+      // dominates the join the way hot cells dominate the flagship's,
+      // which is why assignPagesSmj salts). Two aggregations, output
+      // O(distinct sizes) rows.
+      val bands = graft.pipeline.Dedup.banded(t(s, d, "documents"), "doc_id")
+      bands.groupBy(col("band")).agg(count(lit(1)).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as("n_bands"))
+        .select(col("s"),
+          col("n_bands"),
+          floor(col("s") * (col("s") - 1) / lit(2)).cast("long").as("pairs_per_band"),
+          (col("n_bands") * floor(col("s") * (col("s") - 1) / lit(2)).cast("long"))
+            .as("total_pairs"))
     }),
 
     "q113_contamination_matrix" -> ((s, d) => {
@@ -3928,6 +3975,23 @@ object SparkEntry {
          |WHERE CAST(len(list_intersect(fa.sh, fb.sh)) AS DOUBLE) /
          |    (fa.n + fb.n - len(list_intersect(fa.sh, fb.sh))) >= 0.5""".stripMargin,
 
+    // cohort replay: identical week-truncation and exact integer
+    // microsecond week arithmetic
+    "q119_cohort_retention" ->
+      s"""WITH su AS (SELECT user_id, min(ts) AS s0 FROM events
+         |  WHERE event_type = 'signup' GROUP BY user_id),
+         |cohorts AS (SELECT user_id, s0, date_trunc('week', s0) AS cohort_week FROM su),
+         |sizes AS (SELECT cohort_week, count(DISTINCT user_id) AS cohort_size
+         |  FROM cohorts GROUP BY cohort_week),
+         |act AS (SELECT c.cohort_week,
+         |    CAST((epoch_us(e.ts) - epoch_us(c.s0)) // 604800000000 AS BIGINT) AS k,
+         |    count(DISTINCT e.user_id) AS n_active
+         |  FROM events e JOIN cohorts c ON c.user_id = e.user_id
+         |  WHERE e.ts >= c.s0 GROUP BY 1, 2)
+         |SELECT a.cohort_week, a.k, a.n_active, s.cohort_size,
+         |  CAST((100 * a.n_active) // s.cohort_size AS BIGINT) AS ret_pct
+         |FROM act a JOIN sizes s ON s.cohort_week = a.cohort_week""".stripMargin,
+
     // funnel replay: identical chained conditional-min semantics, exact
     // integer conversion latency via epoch_us
     "q118_funnel" ->
@@ -4029,6 +4093,17 @@ object SparkEntry {
          |  string_agg(s.sym, '|' ORDER BY s.pos) AS toks
          |FROM top t JOIN s6 s ON s.word = t.word
          |GROUP BY t.word, t.n""".stripMargin,
+
+    // band-skew replay: the shared band-key CTEs, per-key sizes, the
+    // size histogram, integer pair arithmetic
+    "q120_band_skew_audit" ->
+      s"""WITH ${minhashBandCtes()},
+         |sz AS (SELECT bk, count(*) AS s FROM keys GROUP BY bk),
+         |hist AS (SELECT s, count(*) AS n_bands FROM sz GROUP BY s)
+         |SELECT s, n_bands,
+         |  CAST((s * (s - 1)) // 2 AS BIGINT) AS pairs_per_band,
+         |  CAST(n_bands * ((s * (s - 1)) // 2) AS BIGINT) AS total_pairs
+         |FROM hist""".stripMargin,
 
     // contamination replay: the q25 candidate+verify CTEs with a source
     // join; pair orientation normalized by least/greatest on the source
