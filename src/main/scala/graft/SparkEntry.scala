@@ -2391,6 +2391,31 @@ object SparkEntry {
     // table (full nation, then a fast-append of the <10 slice) and read
     // BOTH versions; the oracle recomputes each version's expected live
     // set from the nation table itself ----
+    "q121_compaction" -> ((s, d) => {
+      // snapshot-table COMPACTION: five append commits fragment the live
+      // set into small files; compact rewrites the current rows as one
+      // overwrite commit. Graded: the data is IDENTICAL before and after
+      // (both versions re-read via time travel and reduced to the same
+      // aggregates the oracle derives from the logical table), proving
+      // compaction changes layout, never content — and that pre-compact
+      // versions stay readable. File-count reduction and history
+      // integrity are pinned in StorageSpec (physical layout is not a
+      // cross-engine-gradable value).
+      val dir = java.nio.file.Files.createTempDirectory("graft_q121_").toString
+      val nation = t(s, d, "nation")
+      (0 until 5).foreach { i =>
+        graft.sources.Snapshots.commit(
+          nation.filter(pmod(col("n_nationkey"), lit(5)) === i).repartition(2), dir)
+      }
+      val compacted = graft.sources.Snapshots.compact(s, dir, targetFiles = 2)
+      def at(v: Long) = graft.sources.Snapshots.readVersionAsOf(s, dir, v)
+        .groupBy().agg(count(lit(1)).as("n_rows"),
+          sum(col("n_nationkey").cast("long")).as("sum_keys"))
+        .withColumn("version", lit(v))
+      at(5L).unionByName(at(compacted))
+        .select(col("version"), col("n_rows"), col("sum_keys"))
+    }),
+
     "q61_snapshots" -> ((s, d) => {
       val dir = graft.data.Fixtures.snapshotTable(s, d)
       def at(v: Long) = graft.sources.Snapshots.readVersionAsOf(s, dir, v)
@@ -5234,6 +5259,16 @@ object SparkEntry {
 
     // snapshot time-travel: each version's live set recomputed from the
     // source table (v1 = full nation; v2 = v1 + the appended <10 slice)
+    // compaction replay: version 5 (all five appends) and version 6
+    // (the compacted overwrite) are both the WHOLE logical table — the
+    // identity the operator must preserve
+    "q121_compaction" ->
+      """SELECT CAST(5 AS BIGINT) AS version, count(*) AS n_rows,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS sum_keys FROM nation
+        |UNION ALL
+        |SELECT CAST(6 AS BIGINT), count(*), CAST(sum(n_nationkey) AS BIGINT)
+        |FROM nation""".stripMargin,
+
     "q61_snapshots" ->
       """SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_rows,
         |  CAST(sum(n_nationkey) AS BIGINT) AS sum_keys FROM nation

@@ -168,6 +168,31 @@ class StorageSpec extends AnyFunSuite {
       ("insert", 0L), ("insert", 1L), ("insert", 77L)))
   }
 
+  test("compaction: fewer files, identical data, history intact until expire+vacuum") {
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val rows = (0L until 40L).map(i => (i, s"w$i")).toDF("doc_id", "w")
+    (0 until 5).foreach { i =>
+      Snapshots.commit(rows.where(pmod($"doc_id", lit(5)) === i).repartition(2), dir)
+    }
+    val before = Snapshots.liveFileCount(dir, 5L)
+    assert(before >= 10, s"five 2-file appends should fragment the live set, got $before")
+    val v = Snapshots.compact(spark, dir, targetFiles = 2)
+    assert(v === 6L)
+    val after = Snapshots.liveFileCount(dir, v)
+    assert(after === 2, s"compaction to 2 target files wrote $after")
+    // data identical, pre-compact version still time-travelable
+    val now = Snapshots.read(spark, dir).select($"doc_id").collect().map(_.getLong(0)).toSet
+    val old = Snapshots.readVersionAsOf(spark, dir, 5L)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(now === (0L until 40L).toSet && old === now)
+    // compaction deletes nothing; expire+vacuum reclaim the fragments
+    assert(Snapshots.vacuum(dir, graceMs = 0L).isEmpty,
+      "pre-expire vacuum must reap nothing — old versions still reference the fragments")
+    Snapshots.expire(dir, keepLast = 1)
+    assert(Snapshots.vacuum(dir, graceMs = 0L).size === 5, "the five append dirs are now dead")
+    assert(Snapshots.read(spark, dir).count() === 40)
+  }
+
   test("snapshot maintenance: expire keeps the head readable; vacuum reaps only dead dirs") {
     val dir = Files.createTempDirectory("graft-snapvac").toString
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
