@@ -103,6 +103,39 @@ class CdcSpec extends AnyFunSuite {
       s"aggregate churn ${churnSum.toDouble / totalSum} too high for a 7-byte edit")
   }
 
+  test("fuzz: deltaStats matches a pure-Scala multiset replica over random edits") {
+    val spark = graft.expr.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(212)
+    def edit(s: String): String = rnd.nextInt(3) match {
+      case 0 => // insert
+        val p = rnd.nextInt(s.length); s.substring(0, p) + randomAscii(rnd, 1 + rnd.nextInt(30)) + s.substring(p)
+      case 1 => // delete
+        val p = rnd.nextInt(s.length / 2); val l = rnd.nextInt(40); s.substring(0, p) + s.substring(math.min(s.length, p + l))
+      case _ => // replace
+        val p = rnd.nextInt(s.length / 2); val l = 1 + rnd.nextInt(20)
+        s.substring(0, p) + randomAscii(rnd, l) + s.substring(math.min(s.length, p + l))
+    }
+    val v1rows = (0L until 30L).map(i => (i, randomAscii(rnd, 300 + rnd.nextInt(1200))))
+    val v2rows = v1rows.map { case (i, t) => (i, edit(t)) }
+    val got = Cdc.deltaStats(v1rows.toDF("doc_id", "text"), v2rows.toDF("doc_id", "text"),
+      col("text"), 6).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // replica: multiset reuse/churn over the chunk substring multisets
+    def chunkList(s: String): Seq[String] = chunks(s, 6)
+    v1rows.zip(v2rows).foreach { case ((id, t1), (_, t2)) =>
+      val c1 = chunkList(t1).groupBy(identity).view.mapValues(_.size).toMap
+      val c2 = chunkList(t2).groupBy(identity).view.mapValues(_.size).toMap
+      val total = t2.length.toLong
+      val reuse = c2.map { case (c, n2) => math.min(n2, c1.getOrElse(c, 0)).toLong * c.length }.sum
+      val churn = c2.map { case (c, n2) => math.max(0, n2 - c1.getOrElse(c, 0)).toLong * c.length }.sum
+      val nChunks = c2.values.sum.toLong
+      assert(got(id) == ((total, reuse, churn, nChunks)),
+        s"doc $id: ${got(id)} != ($total, $reuse, $churn, $nChunks)")
+    }
+  }
+
   test("plan pin: gear_cuts evaluates once per doc, inside the Generate") {
     val spark = graft.expr.SparkTestSession.spark
     import spark.implicits._
