@@ -57,6 +57,12 @@ object SparkEntry {
     * and 32 matches the production intent of one window partition per
     * reducer at driver scale. */
   private val Q69Shards = 32
+  // q123 uses its own, tighter packing parameters so batches actually
+  // CROSS the budget at the correctness scale (q69's 2000x32 leaves one
+  // under-filled batch per shard at sf0.01, making the overshoot
+  // certificate vacuous there)
+  private val Q123TokenBudget = 400L
+  private val Q123Shards = 8
 
   /** q76's multi-byte corpus — ONE constant feeding the engine
     * LocalRelation and the oracle VALUES. Accented Latin (2-byte),
@@ -1440,6 +1446,25 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_idx"),
           size(col("chunk")).as("n_tokens"),
           md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+    }),
+
+    "q123_packing_certificate" -> ((s, d) => {
+      // the q82-pattern certificate for token packing: per (shard,
+      // batch) the utilization percent AND the <=1-doc-overshoot
+      // guarantee asserted IN the graded output — a batch closes when
+      // the running sum crosses the budget, so (total - last doc's
+      // tokens) < budget must hold on every row; the driver now checks
+      // the packing contract itself, not just the assignment.
+      val docs = t(s, d, "documents")
+      val base = graft.pipeline.Packing.tokenBatches(docs, Q123TokenBudget, Q123Shards)
+      val toks = docs.select(col("doc_id").as("last_doc"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("last_toks"))
+      base.join(toks, Seq("last_doc"))
+        .select(col("shard"), col("batch_id"), col("n_docs"), col("total_tokens"),
+          floor(lit(100L) * col("total_tokens") / lit(Q123TokenBudget)).cast("long")
+            .as("util_pct"),
+          (col("total_tokens") - col("last_toks") < lit(Q123TokenBudget))
+            .as("overshoot_ok"))
     }),
 
     "q69_token_packing" -> ((s, d) => {
@@ -4317,12 +4342,12 @@ object SparkEntry {
          |    list_reduce(list_transform(
          |      string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
          |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-         |      (acc, x) -> acc * 16 + x) % $Q69Shards AS shard
+         |      (acc, x) -> acc * 16 + x) % $Q123Shards AS shard
          |  FROM documents),
          |asg AS (
          |  SELECT s.shard, d.doc_id, d.n_toks,
          |    CAST((sum(d.n_toks) OVER (PARTITION BY s.shard ORDER BY d.doc_id
-         |      ROWS UNBOUNDED PRECEDING) - d.n_toks) // $Q69TokenBudget AS BIGINT) AS batch_id
+         |      ROWS UNBOUNDED PRECEDING) - d.n_toks) // $Q123TokenBudget AS BIGINT) AS batch_id
          |  FROM dochex d JOIN shards s USING (doc_id)),
          |b AS (
          |  SELECT a.shard, a.batch_id, count(*) AS n_docs,
@@ -4701,6 +4726,32 @@ object SparkEntry {
         |FROM ch""".stripMargin,
 
     // exclusive-prefix batch assignment replayed with the same md5 shard
+    // packing certificate replay: q69's CTEs + a join back for the last
+    // doc's token count, identical integer arithmetic
+    "q123_packing_certificate" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+        |    list_reduce(list_transform(
+        |      string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
+        |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |      (acc, d) -> acc * 16 + d) % $Q123Shards AS shard
+        |  FROM documents),
+        |b AS (
+        |  SELECT shard, doc_id, n_toks,
+        |    CAST((sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) - n_toks) // $Q123TokenBudget AS BIGINT) AS batch_id
+        |  FROM t),
+        |agg AS (
+        |  SELECT shard, batch_id, count(*) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+        |    max(doc_id) AS last_doc
+        |  FROM b GROUP BY shard, batch_id)
+        |SELECT a.shard, a.batch_id, a.n_docs, a.total_tokens,
+        |  CAST((100 * a.total_tokens) // $Q123TokenBudget AS BIGINT) AS util_pct,
+        |  (a.total_tokens - t.n_toks < $Q123TokenBudget) AS overshoot_ok
+        |FROM agg a JOIN t ON t.doc_id = a.last_doc""".stripMargin,
+
     "q69_token_packing" ->
       s"""WITH t AS (
         |  SELECT doc_id,
