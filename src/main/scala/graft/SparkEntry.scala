@@ -4342,12 +4342,12 @@ object SparkEntry {
          |    list_reduce(list_transform(
          |      string_split(substring(md5(CAST(doc_id AS VARCHAR)), 1, 15), ''),
          |      c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
-         |      (acc, x) -> acc * 16 + x) % $Q123Shards AS shard
+         |      (acc, x) -> acc * 16 + x) % $Q69Shards AS shard
          |  FROM documents),
          |asg AS (
          |  SELECT s.shard, d.doc_id, d.n_toks,
          |    CAST((sum(d.n_toks) OVER (PARTITION BY s.shard ORDER BY d.doc_id
-         |      ROWS UNBOUNDED PRECEDING) - d.n_toks) // $Q123TokenBudget AS BIGINT) AS batch_id
+         |      ROWS UNBOUNDED PRECEDING) - d.n_toks) // $Q69TokenBudget AS BIGINT) AS batch_id
          |  FROM dochex d JOIN shards s USING (doc_id)),
          |b AS (
          |  SELECT a.shard, a.batch_id, count(*) AS n_docs,
