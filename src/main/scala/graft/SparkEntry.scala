@@ -1111,17 +1111,9 @@ object SparkEntry {
       // O(sources^2) rows no matter the corpus size.
       val docs = t(s, d, "documents")
       val src = docs.select(col("doc_id"), col("source"))
-      val banded = graft.pipeline.Dedup.banded(docs, "doc_id")
-      val cand = banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-      val sh = graft.pipeline.Dedup.shingleState(docs)
-      val pairs = cand
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
+      // r6: same verified-pair front half as q78 — the shared
+      // Dedup.verifiedPairs (kernels materialized once)
+      val pairs = graft.pipeline.Dedup.verifiedPairs(docs)
       pairs
         .join(src.select(col("doc_id").as("doc_a"), col("source").as("source_a")), Seq("doc_a"))
         .join(src.select(col("doc_id").as("doc_b"), col("source").as("source_b")), Seq("doc_b"))
@@ -1210,17 +1202,11 @@ object SparkEntry {
       // via iterative min-label propagation (Dedup.connectedComponents);
       // the oracle closes the same graph with a recursive CTE.
       val docs = t(s, d, "documents")
-      val banded = graft.pipeline.Dedup.banded(docs, "doc_id")
-      val a = banded.as("a"); val b = banded.as("b")
-      val cand = a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-      val feat = docs.select(col("doc_id"), gf.word_shingles(col("text"), lit(3)).as("sh"))
-      val pairs = cand
-        .join(feat.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-        .join(feat.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
+      // r6: the banded-candidates -> shingle-verify front half is the
+      // shared Dedup.verifiedPairs (band table + shingle state each
+      // materialized once instead of re-evaluating the kernels per join
+      // side); same candidates, same jaccard filter, same pairs
+      val pairs = graft.pipeline.Dedup.verifiedPairs(docs)
       graft.pipeline.Dedup.connectedComponents(pairs)
         .withColumn("kept", col("doc_id") === col("component"))
     }),
@@ -1268,17 +1254,8 @@ object SparkEntry {
       // partition never spans a corpus.
       import org.apache.spark.sql.expressions.Window
       val docs = t(s, d, "documents")
-      val banded = graft.pipeline.Dedup.banded(docs, "doc_id")
-      val a = banded.as("a"); val b = banded.as("b")
-      val cand = a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-      val feat = docs.select(col("doc_id"), gf.word_shingles(col("text"), lit(3)).as("sh"))
-      val pairs = cand
-        .join(feat.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-        .join(feat.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
+      // r6: shared verified-pair front half (see q78)
+      val pairs = graft.pipeline.Dedup.verifiedPairs(docs)
       val comps = graft.pipeline.Dedup.connectedComponents(pairs)
       val qual = docs.select(col("doc_id"),
         graft.pipeline.TrigramLangId.fluency(col("text")).as("fluency"))
@@ -1295,17 +1272,8 @@ object SparkEntry {
       // graph), so near-duplicates can never straddle the train/eval
       // boundary; singletons are their own component
       val docs = t(s, d, "documents")
-      val banded = graft.pipeline.Dedup.banded(docs, "doc_id")
-      val a = banded.as("a"); val b = banded.as("b")
-      val cand = a.join(b, col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-      val feat = docs.select(col("doc_id"), gf.word_shingles(col("text"), lit(3)).as("sh"))
-      val pairs = cand
-        .join(feat.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-        .join(feat.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= 0.5)
-        .select(col("doc_a"), col("doc_b"))
+      // r6: shared verified-pair front half (see q78)
+      val pairs = graft.pipeline.Dedup.verifiedPairs(docs)
       graft.pipeline.Dedup.leakageSafeSplit(docs, pairs)
     }),
 
@@ -1362,11 +1330,36 @@ object SparkEntry {
       graft.functions.registerAll(s)
       val docs = t(s, d, "documents")
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      val model = graft.sources.Storage.localize(
-        graft.pipeline.LangModel.trigramModel(docs.filter(col("doc_id") % 5 =!= 0)))
-      val v = model.count()
-      val ctx = graft.sources.Storage.localize(
-        graft.pipeline.LangModel.contextCounts(model))
+      // r6 (guide §1.2): ONE training job. The trained model is collected
+      // once; the vocab size is the collected row count (== the old
+      // model.count() job) and the context table is the same exact
+      // integer prefix-sum derived driver-side (long addition is
+      // order-independent) — three setup jobs collapse into one.
+      val modelRows = graft.pipeline.LangModel
+        .trigramModel(docs.filter(col("doc_id") % 5 =!= 0)).collect()
+      val v = modelRows.length.toLong
+      val model = s.createDataFrame(
+        java.util.Arrays.asList(modelRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("tri",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n3",
+            org.apache.spark.sql.types.LongType))))
+      val ctxAgg = new java.util.LinkedHashMap[String, Long]()
+      modelRows.foreach { r =>
+        ctxAgg.merge(r.getString(0).substring(0, 2), r.getLong(1), java.lang.Long.sum(_, _))
+      }
+      val ctx = {
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          ctxAgg.entrySet().asScala.toSeq.map(e =>
+            org.apache.spark.sql.Row(e.getKey, e.getValue.longValue())).asJava,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("ctx",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n2",
+              org.apache.spark.sql.types.LongType))))
+      }
       graft.pipeline.LangModel
         .scoreDocs(docs.filter(col("doc_id") % 5 === 0), model, ctx, v)
         .select(col("doc_id"), col("n_tri"),
@@ -1723,6 +1716,14 @@ object SparkEntry {
       val b = docs.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
       a.join(broadcast(b), col("doc_a") < col("doc_b"))
         .filter(size(col("ga")) + size(col("gb")) > 0)
+        // r6 size-ratio prefilter (guide §1.2 per-task work): the arrays
+        // are sorted-DISTINCT sets, so jaccard <= min(|A|,|B|)/max(|A|,|B|);
+        // a pair failing 5*min >= 2*max (i.e. min/max < 0.4) can never
+        // reach the 0.4 threshold — the O(|A|+|B|) merge-walk kernel now
+        // runs only on pairs that could pass. Exact integer arithmetic;
+        // pairs at exactly 0.4 keep both filters' semantics.
+        .filter(lit(5) * least(size(col("ga")), size(col("gb"))) >=
+          lit(2) * greatest(size(col("ga")), size(col("gb"))))
         .withColumn("jaccard", gf.sorted_jaccard(col("ga"), col("gb")))
         .filter(col("jaccard") >= 0.4)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -2047,15 +2048,27 @@ object SparkEntry {
       val toks = filter(split(trim(col("text")), "\\s+"), tk => tk =!= "")
       val docToks = docs.select(col("doc_id"), posexplode(toks))
         .withColumnRenamed("col", "term")
-      val dlenF = docToks.groupBy(col("doc_id")).agg(count(lit(1)).as("len"))
+      // r6 (guide §2.3 "shuffle fewer bytes"): per-doc length needs no
+      // explode at all — size(toks) IS the token count, computed map-side
+      // (docs with zero tokens produce no dlenF row, exactly like the
+      // posexplode+groupBy form it replaces)
+      val dlenF = docs.select(col("doc_id"), size(toks).cast("long").as("len"))
+        .filter(col("len") > 0)
       val stats = dlenF.agg(count(lit(1)).as("n_docs"), sum(col("len")).as("total_len"))
-      val tfF = docToks.groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
       val qt = docs.filter(col("doc_id") % 97 === 0)
         .select(col("doc_id").as("query_id"), posexplode(slice(toks, 1, 6)))
         .withColumnRenamed("col", "term")
         .groupBy(col("query_id"), col("term")).agg(min(col("pos")).as("qpos"))
-      val dfF = qt.select(col("term")).distinct()
-        .join(tfF, Seq("term")).groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // r6 (guide §3.2 "reduce the big side before shuffling"): the
+      // (term, doc) posting aggregation only ever feeds joins keyed on
+      // QUERY terms — semi-join the exploded tokens against the tiny
+      // broadcast query-term dim BEFORE the groupBy, so the posting
+      // shuffle carries only matching tokens instead of the whole
+      // corpus's. Identical tf/df values for every surviving (term, doc).
+      val qTerms = qt.select(col("term")).distinct()
+      val tfF = docToks.join(broadcast(qTerms), Seq("term"), "left_semi")
+        .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      val dfF = tfF.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nd = col("n_docs").cast("double"); val dfd = col("df").cast("double")
       val tfd = col("tf").cast("double"); val lend = col("len").cast("double")
       val contrib = qt.join(tfF, Seq("term")).join(broadcast(dfF), Seq("term"))
@@ -2064,10 +2077,18 @@ object SparkEntry {
           (((lit(2.0) * nd - lit(2.0) * dfd + lit(1.0)) / (lit(2.0) * dfd + lit(1.0))) *
             ((tfd * lit(2.2)) / (tfd + lit(1.2) * (lit(0.25) + lit(0.75) *
               (lend / (col("total_len").cast("double") / nd)))))).as("c"))
+      // r6: the qpos-ordered fold needs no collect_list/array_sort
+      // ObjectHashAggregate — qpos is DISTINCT per (query, doc) (it is a
+      // token position, one term per position) and bounded by the 6-term
+      // query slice, so a conditional-max pivot into c0..c5 (plain
+      // codegen HashAggregate) followed by a fixed-order null-skipping
+      // fold adds the SAME doubles in the SAME qpos order.
+      val pivots = (0 until 6).map(i =>
+        max(when(col("qpos") === i, col("c"))).as(s"c$i"))
       val scored = contrib.groupBy(col("query_id"), col("doc_id"))
-        .agg(collect_list(struct(col("qpos"), col("c"))).as("cs"))
+        .agg(pivots.head, pivots.tail: _*)
         .select(col("query_id"), col("doc_id"),
-          expr("aggregate(transform(array_sort(cs), x -> x.c), 0.0D, (a, v) -> a + v)").as("bm25"))
+          expr("aggregate(filter(array(c0,c1,c2,c3,c4,c5), x -> x is not null), 0.0D, (a, v) -> a + v)").as("bm25"))
       scored.select(col("query_id"),
           row_number().over(Window.partitionBy(col("query_id"))
             .orderBy(col("bm25").desc, col("doc_id"))).as("rank"),
@@ -2278,20 +2299,32 @@ object SparkEntry {
       // at stream start — it LOOKS like `[error] ...AnalysisException` in
       // sbt output but the query runs and passes (the check is the thing
       // being deliberately disabled; see NearDup.kept's contract doc).
-      val q = graft.streaming.NearDup
-        .kept(stream, watermark = "10 seconds", ttlMillis = 1L << 62,
-          disableChainedStateCheck = true)
-        .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          val rows = batch.select(col("doc_id").cast("long"), col("n_bands").cast("long"))
-            .collect()
-          if (rows.nonEmpty) nDataBatches.incrementAndGet()
-          rows.foreach(r => acc.add((r.getLong(0), r.getLong(1))))
-          ()
-        }
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // r6: the two chained stateful operators materialize one state
+      // store per shuffle partition per micro-batch — at the session's
+      // 32 partitions that is store-init/commit machinery for a
+      // fixture-sized stream (the q92 lesson; results are partitioning-
+      // invariant, pinned by the driver's local[2]/local[16] compare).
+      // Scope the partition count down for the duration of this query.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
+        val q = graft.streaming.NearDup
+          .kept(stream, watermark = "10 seconds", ttlMillis = 1L << 62,
+            disableChainedStateCheck = true)
+          .writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val rows = batch.select(col("doc_id").cast("long"), col("n_bands").cast("long"))
+              .collect()
+            if (rows.nonEmpty) nDataBatches.incrementAndGet()
+            rows.foreach(r => acc.add((r.getLong(0), r.getLong(1))))
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // restore only after the query DRAINS (the q92 rule: streaming
+        // conf is captured per micro-batch and start() is async)
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       // single-file fixture => every input row (sentinel included) arrived
       // in ONE source micro-batch, so the sentinel's watermark advance can
       // never drop a real doc as late (r4 ADVICE item). The chained FMGWS

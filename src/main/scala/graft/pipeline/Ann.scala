@@ -164,33 +164,62 @@ object Ann {
   // identical at any parallelism, DuckDB-replayable).
 
   /** Per-subspace codebooks: (sub, list_id, cvec[width]); the centroid
-    * id-sample is shared across subspaces (md5 order over vec_id). */
+    * id-sample is shared across subspaces (md5 order over vec_id).
+    *
+    * r6 (guide §1.2): the m per-subspace trainers used to run
+    * SEQUENTIALLY — m x (1 seed job + iters x 2 jobs) of driver-gated
+    * micro-jobs. The subspaces are independent, so ONE keyed dataflow
+    * trains all of them: every stage carries `sub` in its grouping key,
+    * and the shared md5 id-sample is collected once and sliced
+    * driver-side (the same `slice(embedding, sub*width+1, width)`
+    * arithmetic). Per-(sub, list) arithmetic is unchanged — exact
+    * decimal sums are order-independent, dot-argmax keeps the
+    * (ds, -list_id) tie-break — so the codebooks are bit-identical to
+    * the sequential form's. */
   def pqCodebooks(emb: DataFrame, m: Int = 4, width: Int = 16,
-                  k: Int = 16, iters: Int = 2): DataFrame =
-    (0 until m).map { sub =>
-      val sliced = emb.select(col("vec_id"),
-        slice(col("embedding"), sub * width + 1, width).as("embedding"))
-      var cents = centroids(sliced, k)
-      (1 to iters).foreach { _ =>
-        val comp = sliced.crossJoin(broadcast(cents))
-          .withColumn("ds", gf.dot_sim(col("embedding"), col("cvec")))
-          .groupBy(col("vec_id"))
-          .agg(expr("max_by(list_id, struct(ds, -list_id))").as("list_id"),
-            first(col("embedding")).as("embedding"))
-          .select(col("list_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-          .groupBy(col("list_id"), col("pos"))
-          .agg(sum(floor(col("x").cast("double") * lit(1048576.0) + lit(0.5))
-            .cast("decimal(38,0)")).as("sq"), count(lit(1)).as("n"))
-          .withColumn("c",
-            ((col("sq").cast("double") / col("n").cast("double")) / lit(1048576.0))
-              .cast("float"))
-        cents = graft.sources.Storage.localize(
-          comp.groupBy(col("list_id"))
-            .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
-              s => s("c")).as("cvec")))
-      }
-      cents.withColumn("sub", lit(sub))
-    }.reduce(_ unionByName _)
+                  k: Int = 16, iters: Int = 2): DataFrame = {
+    val spark = emb.sparkSession
+    val sampled = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getAs[Number](0).longValue())
+    val embType = emb.schema("embedding").dataType
+    val seedRows: java.util.List[Row] = java.util.Arrays.asList(
+      (0 until m).flatMap { sub =>
+        sampled.zipWithIndex.map { case (r, i) =>
+          val e = r.getAs[scala.collection.Seq[Any]](1)
+          Row(sub, i + 1, if (e == null) null else e.slice(sub * width, sub * width + width))
+        }
+      }: _*)
+    var cents = spark.createDataFrame(seedRows, StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("list_id", IntegerType, nullable = false),
+      StructField("cvec", embType, nullable = true))))
+    val sliced = emb.select(col("vec_id"),
+      posexplode(array((0 until m).map(s =>
+        slice(col("embedding"), s * width + 1, width)): _*)).as(Seq("sub", "embedding")))
+    (1 to iters).foreach { _ =>
+      val comp = sliced.join(broadcast(cents), Seq("sub"))
+        .withColumn("ds", gf.dot_sim(col("embedding"), col("cvec")))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(expr("max_by(list_id, struct(ds, -list_id))").as("list_id"),
+          first(col("embedding")).as("embedding"))
+        .select(col("sub"), col("list_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("sub"), col("list_id"), col("pos"))
+        .agg(sum(floor(col("x").cast("double") * lit(1048576.0) + lit(0.5))
+          .cast("decimal(38,0)")).as("sq"), count(lit(1)).as("n"))
+        .withColumn("c",
+          ((col("sq").cast("double") / col("n").cast("double")) / lit(1048576.0))
+            .cast("float"))
+      cents = graft.sources.Storage.localize(
+        comp.groupBy(col("sub"), col("list_id"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+            s => s("c")).as("cvec")))
+    }
+    cents.select(col("list_id"), col("cvec"), col("sub"))
+  }
 
   /** PQ encoding: m codes per vector — a map-side dot-argmax against the
     * broadcast codebooks, one groupBy on (vec, sub). */

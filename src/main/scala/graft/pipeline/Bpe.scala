@@ -48,7 +48,28 @@ object Bpe {
   def train(docs: DataFrame, rounds: Int, maxLocalRows: Int = 1 << 20)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     val loc = graft.sources.Storage.localizeOrCheckpoint(_: DataFrame, maxLocalRows)
-    val freq = loc(wordFreq(docs))
+    // one corpus-sized job: the corpus collapses to the word-frequency
+    // table here; everything after operates on O(vocab) rows
+    val freqProbe = wordFreq(docs).limit(maxLocalRows + 1).collect()
+    val spark = docs.sparkSession
+    // r6 SIZE-GATED LOCAL TRAINER (guide §8 "decide with small rows"):
+    // trainer state is O(vocab x word length) BY DESIGN — when the freq
+    // table fits the probe gate (it was just collected), the 6 merge
+    // rounds are a driver-side loop over those rows instead of
+    // 2 micro-jobs per round (measured ~12 jobs of window/join plans over
+    // a LocalRelation). Identical semantics, stage by stage: pair totals
+    // are exact integer sums over adjacent symbol pairs weighted by n
+    // (overlapping occurrences counted); argmax by (total DESC, s1 ASC,
+    // s2 ASC) with the comparisons on UTF-8 BYTES (what Spark's string
+    // ordering compares — for the pure-ASCII corpus both orders agree,
+    // and the byte comparator keeps them equal beyond ASCII); the rewrite
+    // is classic greedy left-to-right, which equals the relational
+    // "even offsets inside islands" rule. A vocab past the gate — the
+    // only kind that needs a cluster — takes the unchanged relational
+    // rounds below.
+    if (freqProbe.length <= maxLocalRows)
+      return trainLocal(spark, freqProbe, rounds)
+    val freq = wordFreq(docs).localCheckpoint()
     var syms = loc(freq
       .select(col("word"), col("n"),
         explode(sequence(lit(1), length(col("word")))).as("pos"))
@@ -91,5 +112,83 @@ object Bpe {
         .select(col("word"), col("n"), col("pos2").as("pos"), col("sym")))
     }
     (merges.toSeq, syms)
+  }
+
+  /** Unsigned UTF-8 byte comparison — Spark's binary string ordering. */
+  private def u8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-side merge rounds over the collected (word, n) rows — the
+    * [[train]] local path. Same pair stats, same argmax tie-break, same
+    * greedy rewrite; returns the same (merges, syms-frame) pair with the
+    * syms frame as a LocalRelation of (word, n, pos, sym). */
+  private def trainLocal(spark: org.apache.spark.sql.SparkSession,
+                         freqRows: Array[org.apache.spark.sql.Row],
+                         rounds: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    val words = freqRows.map { r =>
+      (r.getString(0), r.getLong(1),
+        r.getString(0).toCharArray.map(_.toString))
+    }
+    var state = words
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to rounds) {
+      val stats = new java.util.HashMap[(String, String), Long]()
+      state.foreach { case (_, n, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          stats.merge(key, n, java.lang.Long.sum(_, _))
+          i += 1
+        }
+      }
+      if (stats.isEmpty) throw new IllegalStateException(
+        s"BPE round $r: no adjacent pairs left — corpus too small for $rounds merges")
+      import scala.jdk.CollectionConverters._
+      var best: ((String, String), Long) = null
+      stats.entrySet().asScala.foreach { e =>
+        val cand = (e.getKey, e.getValue.longValue())
+        if (best == null) best = cand
+        else {
+          val better =
+            if (cand._2 != best._2) cand._2 > best._2
+            else if (cand._1._1 != best._1._1) u8Lt(cand._1._1, best._1._1)
+            else u8Lt(cand._1._2, best._1._2)
+          if (better) best = cand
+        }
+      }
+      val ((b1, b2), total) = best
+      merges += ((r, b1, b2, total))
+      state = state.map { case (w, n, syms) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == b1 && syms(i + 1) == b2) {
+            out += b1 + b2; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        (w, n, out.toArray)
+      }
+    }
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+    val rows: java.util.List[org.apache.spark.sql.Row] = java.util.Arrays.asList(
+      state.flatMap { case (w, n, syms) =>
+        syms.zipWithIndex.map { case (sym, i) =>
+          org.apache.spark.sql.Row(w, n, i + 1, sym)
+        }
+      }.toIndexedSeq: _*)
+    val symsDf = spark.createDataFrame(rows, StructType(Seq(
+      StructField("word", StringType), StructField("n", LongType),
+      StructField("pos", IntegerType), StructField("sym", StringType))))
+    (merges.toSeq, symsDf)
   }
 }

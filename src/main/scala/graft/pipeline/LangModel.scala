@@ -29,12 +29,17 @@ import org.apache.spark.sql.functions._
  */
 object LangModel {
 
-  /** Trigram positions 1..len-2 (1-based), guarded for short docs —
-    * `sequence(1, n)` with n < 1 silently generates DESCENDING. */
+  /** Trigram array of `text` — the codegen'd [[graft.expr.TextOps.charShingles]]
+    * kernel (r6): the previous `transform(sequence(1, len-2),
+    * i -> substring(text, i, 3))` HOF form re-scanned the string per
+    * substring call (Spark's char-offset substring is O(position)) and
+    * paid per-element lambda evaluation — measured ~2s of the q90
+    * training pass alone. The kernel emits the identical trigram strings
+    * in one pass (UTF-16 indexing — the kernel family's documented
+    * ASCII-corpus scope; empty array below 3 chars, exactly the old
+    * when/otherwise guard). */
   private def triExplode(text: Column): Column =
-    when(length(text) >= 3,
-      transform(sequence(lit(1), length(text) - 2), i => substring(text, i, lit(3))))
-      .otherwise(array())
+    graft.functions.char_shingles(text, lit(3))
 
   /** Trained model: trigram counts `(tri, n3)`. Exact integer counts;
     * `minCount` drops rare trigrams (the 100-TB broadcast-size knob; 0 =

@@ -439,41 +439,67 @@ object SpatialJoin {
         // than anything the disk could have missed -> exact by construction
         .filter(col("cnt") >= k && col("kth") < certBound(r))
 
+    val cols = Seq("url", "lon", "lat", "clubId", "courseId", "holeNumber", "dist_m", "rank")
+    // r6 (guide §1.2): each stage's certified set feeds TWO consumers —
+    // the final union AND the next stage's anti-join — and the anti-join
+    // probe used to re-evaluate the whole (expensive: per-candidate
+    // distance kernel + rank window) stage a second time when the final
+    // action ran. Materialize the certified rows once, PROJECTED to the
+    // output columns first so the polygon-dim payload (the boundary
+    // variant's flattened shells) never enters the materialized frame.
+    // The probe stream itself ((url, lon, lat) only) is size-gate
+    // materialized too: when BOTH it and a certified set are local, the
+    // uncertain complement is a driver-side set difference — zero extra
+    // jobs (the Storage.localizeOrCheckpointRows contract); any gate miss
+    // falls back to the relational anti-join.
+    val matz = graft.sources.Storage.localizeOrCheckpointRows(_: DataFrame, maxLocalRows)
+    val (pagesM, pagesRows) = matz(pages)
+    def complement(base: DataFrame, baseRows: Option[Array[org.apache.spark.sql.Row]],
+                   cert: DataFrame, certRows: Option[Array[org.apache.spark.sql.Row]])
+        : (DataFrame, Option[Array[org.apache.spark.sql.Row]]) =
+      (baseRows, certRows) match {
+        case (Some(br), Some(cr)) =>
+          val certUrls = new java.util.HashSet[String](cr.length * 2)
+          cr.foreach(r => certUrls.add(r.getString(0)))
+          val rest = br.filterNot(r => certUrls.contains(r.getString(0)))
+          (base.sparkSession.createDataFrame(
+            java.util.Arrays.asList(rest: _*), base.schema), Some(rest))
+        case _ => matz(base.join(
+          cert.select(col("url")).distinct(), Seq("url"), "left_anti"))
+      }
     // stage 1: centroid-side disk broadcast, single-cell probe
     val expanded = centroids
       .withColumn("cell", explode(disk_cells(cell_id(col("clon"), col("clat"), lit(level)), lit(radius))))
-    val cert1 = topkCertified(
-      pages
+    val (cert1, cert1Rows) = matz(topkCertified(
+      pagesM
         .withColumn("cell", cell_id(col("lon"), col("lat"), lit(level)))
         .join(broadcast(expanded), "cell"),
-      radius)
-    // materialized: uncertain sets are TINY by construction (the
-    // certificate covers the dense common case), but each feeds TWO
-    // branches (its stage's candidates and the next stage's anti-join) —
-    // without a materialization point, every downstream branch would
-    // re-evaluate the whole upstream stage, multiplying full pages-table
-    // passes at 10^12-row scale. The SIZE-GATED localize keeps the common
-    // case a LocalRelation (nothing pinned in the CacheManager, rows are
-    // (url, lon, lat) only) while a polar-heavy slice or mischosen
-    // level/radius — where the certificate certifies nothing and the
-    // uncertain set approaches the whole input — falls back to an
-    // executor-side localCheckpoint (auto-released when unreferenced)
-    // instead of collecting an unbounded set onto the driver.
-    val uncertain1 = graft.sources.Storage.localizeOrCheckpoint(pages.join(
-      cert1.select(col("url")).distinct(), Seq("url"), "left_anti"), maxLocalRows)
+      radius).select(cols.map(col): _*))
+    // uncertain sets are TINY by construction (the certificate covers the
+    // dense common case) but feed two branches each — materialized (size-
+    // gated: a polar-heavy slice where the certificate certifies nothing
+    // falls back to an executor-side localCheckpoint, never an unbounded
+    // driver collect)
+    val (uncertain1, uncertain1Rows) = complement(pagesM, pagesRows, cert1, cert1Rows)
 
     // stage 2: page-side disk expansion at 4x radius against the
     // single-cell centroid dim
     val r2 = radius * 4
     val centCells = centroids
       .withColumn("cell", cell_id(col("clon"), col("clat"), lit(level)))
-    val cert2 = topkCertified(
-      uncertain1
-        .withColumn("cell", explode(disk_cells(cell_id(col("lon"), col("lat"), lit(level)), lit(r2))))
-        .join(broadcast(centCells), "cell"),
-      r2)
-    val uncertain2 = graft.sources.Storage.localizeOrCheckpoint(uncertain1.join(
-      cert2.select(col("url")).distinct(), Seq("url"), "left_anti"), maxLocalRows)
+    // short-circuit (r6): stage 1 certifying EVERY page is the dense
+    // common case — a provably-empty uncertain set needs no stage-2 job
+    val (cert2, cert2Rows) =
+      if (uncertain1Rows.exists(_.isEmpty))
+        (pagesM.sparkSession.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](), cert1.schema),
+          Some(Array.empty[org.apache.spark.sql.Row]))
+      else matz(topkCertified(
+        uncertain1
+          .withColumn("cell", explode(disk_cells(cell_id(col("lon"), col("lat"), lit(level)), lit(r2))))
+          .join(broadcast(centCells), "cell"),
+        r2).select(cols.map(col): _*))
+    val (uncertain2, _) = complement(uncertain1, uncertain1Rows, cert2, cert2Rows)
 
     // stage 3: exact brute tail, size surfaced as an observed metric so
     // tests (and production monitors) can assert it stays tiny
@@ -483,9 +509,8 @@ object SpatialJoin {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .observe("knn_brute", count(lit(1)).as("n_brute_rows"))
-    val cols = Seq("url", "lon", "lat", "clubId", "courseId", "holeNumber", "dist_m", "rank")
-    cert1.select(cols.map(col): _*)
-      .unionByName(cert2.select(cols.map(col): _*))
+    cert1
+      .unionByName(cert2)
       .unionByName(brute.select(cols.map(col): _*))
   }
 

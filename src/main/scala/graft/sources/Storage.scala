@@ -57,12 +57,21 @@ object Storage {
    * that must survive executor loss would use `checkpoint()` with a
    * reliable dir — same call shape.)
    */
-  def localizeOrCheckpoint(df: DataFrame, maxLocalRows: Int): DataFrame = {
+  def localizeOrCheckpoint(df: DataFrame, maxLocalRows: Int): DataFrame =
+    localizeOrCheckpointRows(df, maxLocalRows)._1
+
+  /** [[localizeOrCheckpoint]] that also hands back the collected rows when
+    * the size gate held (None on the checkpoint path) — callers that can
+    * derive tiny downstream sets driver-side (e.g. kNN's uncertain-page
+    * complement) skip whole micro-jobs with them (r6). */
+  def localizeOrCheckpointRows(df: DataFrame, maxLocalRows: Int)
+      : (DataFrame, Option[Array[org.apache.spark.sql.Row]]) = {
     val probe = df.limit(maxLocalRows + 1).collect()
     if (probe.length <= maxLocalRows)
-      df.sparkSession.createDataFrame(java.util.Arrays.asList(probe: _*), df.schema)
+      (df.sparkSession.createDataFrame(java.util.Arrays.asList(probe: _*), df.schema),
+        Some(probe))
     else
-      df.localCheckpoint()
+      (df.localCheckpoint(), None)
   }
 
   // -----------------------------------------------------------------

@@ -183,8 +183,12 @@ class PipelineSpec extends AnyFunSuite {
       }
       edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
     }
-    def engine(edges: Seq[(Long, Long)]): Map[Long, Long] =
-      Dedup.connectedComponents(edges.toDF("doc_a", "doc_b")).collect()
+    // maxLocalRows = 0 forces the RELATIONAL loop (the at-scale path);
+    // the default gate takes the r6 local union-find finish — both must
+    // equal the brute reference (and therefore each other)
+    def engine(edges: Seq[(Long, Long)], maxLocalRows: Int = 1 << 20): Map[Long, Long] =
+      Dedup.connectedComponents(edges.toDF("doc_a", "doc_b"),
+          maxLocalRows = maxLocalRows).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val rnd = new scala.util.Random(7)
     for (_ <- 0 until 4) {
@@ -192,16 +196,20 @@ class PipelineSpec extends AnyFunSuite {
         .filter(e => e._1 != e._2)
         .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
       assert(engine(edges) == brute(edges))
+      assert(engine(edges, maxLocalRows = 0) == brute(edges))
     }
     // a 16-node chain: diameter 15 — min-label propagation's worst case
     // inside the default iteration guard
     val chain = (0L until 15L).map(i => (i, i + 1))
-    val got = engine(chain)
+    val got = engine(chain, maxLocalRows = 0)
     assert(got.size == 16 && got.values.toSet == Set(0L))
-    // guard trips rather than returning a half-converged labeling
+    assert(engine(chain) == got)
+    // guard trips rather than returning a half-converged labeling (the
+    // relational path; the local finish has no rounds to bound)
     intercept[IllegalStateException] {
       Dedup.connectedComponents(
-        (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"), maxIter = 5)
+        (0L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"), maxIter = 5,
+        maxLocalRows = 0)
     }
   }
 
@@ -218,28 +226,36 @@ class PipelineSpec extends AnyFunSuite {
       }
       edges.flatMap(e => Seq(e._1, e._2)).distinct.map(n => n -> find(n)).toMap
     }
-    def engine(edges: Seq[(Long, Long)], maxIter: Int = 25): Map[Long, Long] =
-      Dedup.connectedComponentsStar(edges.toDF("doc_a", "doc_b"), maxIter = maxIter)
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def engine(edges: Seq[(Long, Long)], maxIter: Int = 25,
+               maxLocalRows: Int = 1 << 20): Map[Long, Long] =
+      Dedup.connectedComponentsStar(edges.toDF("doc_a", "doc_b"), maxIter = maxIter,
+        maxLocalRows = maxLocalRows).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val rnd = new scala.util.Random(11)
     for (_ <- 0 until 4) {
       val edges = Seq.fill(60)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
         .filter(e => e._1 != e._2)
         .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      // both the r6 local union-find finish (default gate) and the
+      // relational star rounds (gate 0) must equal the brute reference
       assert(engine(edges) == brute(edges))
+      assert(engine(edges, maxLocalRows = 0) == brute(edges))
     }
     // a 120-node chain: diameter 119 — min-label propagation THROWS at its
     // default 20-round guard; star contraction closes it in O(log^2 n)
-    // rounds (the maxIter = 12 below pins "single digits in practice")
+    // rounds (the maxIter = 12 below pins "single digits in practice").
+    // Both forced to their relational loops (gate 0).
     val chain = (0L until 119L).map(i => (i, i + 1))
     intercept[IllegalStateException] {
-      Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"))
+      Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"), maxLocalRows = 0)
     }
-    val got = engine(chain, maxIter = 12)
+    val got = engine(chain, maxIter = 12, maxLocalRows = 0)
     assert(got.size == 120 && got.values.toSet == Set(0L))
+    assert(engine(chain) == got)
     // isolated self-consistency: two disjoint stars stay disjoint
     val two = Seq((5L, 9L), (5L, 7L), (100L, 200L))
     assert(engine(two) == brute(two))
+    assert(engine(two, maxLocalRows = 0) == brute(two))
   }
 
   test("leakage-safe split: connected docs share a split; singletons covered; slices sane") {
