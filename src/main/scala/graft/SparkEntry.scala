@@ -529,7 +529,12 @@ object SparkEntry {
     "q32_embed_dup_pairs" -> ((s, d) => {
       graft.functions.registerAll(s)
       val e = t(s, d, "embeddings")
+      // r6: the BNLJ stream side inherits the scan's partitioning — ONE
+      // task for a single-row-group parquet, serializing every pairwise
+      // kernel eval; spread it across the session's cores (round-robin,
+      // row-level map => result-invariant)
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        .repartition(s.sparkContext.defaultParallelism)
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       a.join(broadcast(b), col("vec_a") < col("vec_b"))
         .filter(gf.cosine_sim(col("ea"), col("eb")) >= 0.451)
@@ -1686,6 +1691,7 @@ object SparkEntry {
         .withColumn("n", size(col("sh")))
       val a = docs.filter(col("doc_id") < 100)
         .select(col("doc_id").as("doc_a"), col("sh").as("sh_a"), col("n").as("n_a"))
+        .repartition(s.sparkContext.defaultParallelism) // r6: q32's BNLJ single-task fix
       val b = docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"), col("n").as("n_b"))
       // thresholdless (the full pair-similarity table): a jaccard filter
       // would reference the expression from both Filter and Project after
@@ -1713,6 +1719,7 @@ object SparkEntry {
         gf.hashed_char_shingles(col("text"), lit(5)).as("grams"))
       val a = docs.filter(col("doc_id") < 100)
         .select(col("doc_id").as("doc_a"), col("grams").as("ga"))
+        .repartition(s.sparkContext.defaultParallelism) // r6: q32's BNLJ single-task fix
       val b = docs.select(col("doc_id").as("doc_b"), col("grams").as("gb"))
       a.join(broadcast(b), col("doc_a") < col("doc_b"))
         .filter(size(col("ga")) + size(col("gb")) > 0)
@@ -1738,6 +1745,7 @@ object SparkEntry {
       val docs = t(s, d, "documents").select(col("doc_id"), h.as("h"))
       val a = docs.filter(col("doc_id") < 100)
         .select(col("doc_id").as("doc_a"), col("h").as("ha"))
+        .repartition(s.sparkContext.defaultParallelism) // r6: q32's BNLJ single-task fix
       val b = docs.select(col("doc_id").as("doc_b"), col("h").as("hb"))
       a.join(broadcast(b), col("doc_a") < col("doc_b"))
         .withColumn("hamming", gf.hamming_dist(col("ha"), col("hb")))
@@ -2367,6 +2375,12 @@ object SparkEntry {
       // pinned by the driver's local[2]/local[16] compare)
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
+      // r6: the no-data micro-batch after the single data batch only
+      // EVICTS join state (inner-join matches emit in the data batch
+      // itself); skipping it drops a full state-store init/commit cycle
+      // per partition with identical emitted rows
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       try {
         val q = graft.streaming.PageStream
           .pagesWithBudget(src(pagesDir), src(grantsDir))
@@ -2385,7 +2399,10 @@ object SparkEntry {
         // per micro-batch, and start() is async — restoring earlier could
         // race the batch planner back to the session default
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
       require(nDataBatches.get() == 1L,
         s"q92 expected exactly 1 data-carrying micro-batch, saw ${nDataBatches.get()} — " +
           "the stream fixtures are no longer single files; a multi-batch run can drop " +
@@ -2414,6 +2431,12 @@ object SparkEntry {
       val acc = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Int)]()
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
+      // r6: complete mode re-emits the whole register table every
+      // trigger — the no-data batch after the single data batch emits
+      // the SAME rows the data batch did (no watermark in play), so
+      // skipping it changes nothing but the wasted store cycle
+      val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
       try {
         val q = Sketch.hllRegisters(stream, col("text"))
           .writeStream.outputMode("complete")
@@ -2428,7 +2451,10 @@ object SparkEntry {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+      }
       import scala.jdk.CollectionConverters._
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}

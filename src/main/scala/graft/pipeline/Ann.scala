@@ -240,7 +240,9 @@ object Ann {
   def pqTopK(emb: DataFrame, queries: DataFrame, k: Int,
              m: Int = 4, width: Int = 16, nCentroids: Int = 16,
              iters: Int = 2): DataFrame = {
-    val books = graft.sources.Storage.localize(pqCodebooks(emb, m, width, nCentroids, iters))
+    // pqCodebooks already returns a LocalRelation (its loop localizes
+    // each round's centroids) — no extra collect job needed (r6)
+    val books = pqCodebooks(emb, m, width, nCentroids, iters)
     val codes = pqCodes(emb, books, width)
     val tables = queries.crossJoin(broadcast(books))
       .select(col("query_id"), col("sub"), col("list_id").as("code"),
