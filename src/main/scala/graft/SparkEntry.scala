@@ -3798,7 +3798,7 @@ object SparkEntry {
 
     // CDC replay: the rolling Gear hash re-derived POSITION-LOCALLY —
     // h_i as the explicit 64-term windowed sum (gear(b_j) << (i-j) mod
-    // 2^64, products split 32/32), cuts where the low 6 bits vanish,
+    // 2^64, products split 32/32), cuts where the top 6 bits vanish,
     // chunk spans via a lag window over the bounds, chunk hashes via
     // the shared FNV replay over the substring
     "q109_cdc_chunks" ->

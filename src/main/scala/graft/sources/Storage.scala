@@ -110,13 +110,17 @@ object Storage {
         .filter(f => f.endsWith(".parquet") && !f.contains("_SUCCESS")).sorted
       finally s.close()
     }
-    val stats = files.map { f =>
+    val stats = files.flatMap { f =>
       val r = spark.read.parquet(f)
         .agg(min(col(key)), max(col(key)), count(lit(1))).collect()(0)
-      FileStat(f, r.getLong(0), r.getLong(1), r.getLong(2))
+      // r5 ADVICE: an empty part file has null min/max — record nothing
+      // for it rather than NPE (readKeyRange can never match it anyway)
+      if (r.isNullAt(0)) None
+      else Some(FileStat(f, r.getLong(0), r.getLong(1), r.getLong(2)))
     }
+    def esc(p: String) = p.replace("\\", "\\\\").replace("\"", "\\\"")
     val json = stats.map(st =>
-        s"""{"file":"${st.file}","min":${st.min},"max":${st.max},"rows":${st.rows}}""")
+        s"""{"file":"${esc(st.file)}","min":${st.min},"max":${st.max},"rows":${st.rows}}""")
       .mkString("[", ",", "]")
     java.nio.file.Files.writeString(clusterManifest(tableDir), json)
     stats
