@@ -1001,25 +1001,35 @@ object SparkEntry {
       val pairs = banded.as("a").join(banded.as("b"),
           col("a.chunk") === col("b.chunk") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b")).distinct()
-      val tc = docsT.select(col("doc_id"),
+      // r6 (guide §2.3 "shuffle fewer bytes" / §4): the exact dot was a
+      // (doc, tok)-keyed join of the candidate pairs against the count
+      // vectors — ~10M intermediate rows shuffled + aggregated + LEFT
+      // SMJ'd back for the fixture's 338k pairs. Instead each doc's
+      // count vector is packed ONCE into a sorted (tok, c) struct array
+      // and the per-pair dot is the codegen merge-walk kernel
+      // `keyed_dot` (exact integer sum(ca*cb), identical values), with
+      // n2 = sum(c^2) folded map-side from the same array — the dot
+      // subtree, both n2 joins and the LeftOuter SMJ disappear from the
+      // plan. A pair with no shared token gets kernel dot 0 == the old
+      // coalesce(NULL, 0).
+      val tcv = docsT.select(col("doc_id"),
           explode(filter(split(trim(col("text")), "\\s+"), tk => tk =!= "")).as("tok"))
         .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
-      val n2 = tc.groupBy(col("doc_id")).agg(sum(col("c") * col("c")).as("n2"))
-      val dot = pairs
-        .join(tc.select(col("doc_id").as("doc_a"), col("tok"), col("c").as("ca")), Seq("doc_a"))
-        .join(tc.select(col("doc_id").as("doc_b"), col("tok"), col("c").as("cb")),
-          Seq("doc_b", "tok"))
-        .groupBy(col("doc_a"), col("doc_b")).agg(sum(col("ca") * col("cb")).as("dp"))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("tok"), col("c")))).as("ps"))
+        .select(col("doc_id"), col("ps"),
+          expr("aggregate(ps, 0L, (a, x) -> a + x.c * x.c)").as("n2"))
       pairs
         .join(sigs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
         .join(sigs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-        .join(n2.select(col("doc_id").as("doc_a"), col("n2").as("n2a")), Seq("doc_a"))
-        .join(n2.select(col("doc_id").as("doc_b"), col("n2").as("n2b")), Seq("doc_b"))
-        .join(dot, Seq("doc_a", "doc_b"), "left")
+        .join(tcv.select(col("doc_id").as("doc_a"), col("ps").as("ps_a"),
+          col("n2").as("n2a")), Seq("doc_a"))
+        .join(tcv.select(col("doc_id").as("doc_b"), col("ps").as("ps_b"),
+          col("n2").as("n2b")), Seq("doc_b"))
         .withColumn("hamming", gf.hamming_dist(col("sh_a"), col("sh_b")))
         .select(col("doc_a"), col("doc_b"), col("hamming"),
           round((lit(64) - col("hamming")).cast("double") / lit(64.0d), 6).as("agree_frac"),
-          round(coalesce(col("dp"), lit(0L)).cast("double") /
+          round(gf.keyed_dot(col("ps_a"), col("ps_b")).cast("double") /
             sqrt((col("n2a") * col("n2b")).cast("double")), 6).as("exact_cos"))
     }),
 

@@ -186,6 +186,26 @@ object TextOps {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  /** Exact integer dot product of two token-count vectors, each an array
+    * of (tok, c) structs SORTED ascending by tok (the order
+    * `array_sort(collect_list(struct(tok, c)))` yields for per-doc
+    * distinct toks — Spark's binary UTF8 string ordering, matched here by
+    * `UTF8String.compareTo`). Merge walk: equal keys contribute ca*cb —
+    * exactly the keyed-join `sum(ca*cb)` aggregation collapsed into one
+    * kernel pass, so a pair query needs no (doc, tok)-keyed join at all. */
+  def keyedDot(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements(); val nb = b.numElements()
+    var i = 0; var j = 0; var acc = 0L
+    while (i < na && j < nb) {
+      val ra = a.getStruct(i, 2); val rb = b.getStruct(j, 2)
+      val cmp = ra.getUTF8String(0).compareTo(rb.getUTF8String(0))
+      if (cmp == 0) { acc += ra.getLong(1) * rb.getLong(1); i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    acc
+  }
+
   // ---- MinHash (k permutations via seeded remix of one base hash) ----
   def minHash(shingles: ArrayData, k: Int, seed: Long): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)

@@ -247,6 +247,23 @@ case class HammingDist(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** Exact integer dot product of two sorted (tok, c) struct arrays — the
+  * (doc, tok)-keyed join + sum aggregation of a pair query's
+  * count-vector dot, collapsed into one merge-walk kernel (r6; see
+  * TextOps.keyedDot for the sortedness contract). */
+case class KeyedDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "keyed_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextOps.keyedDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.expr.TextOps.keyedDot($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): KeyedDot =
+    copy(l, r)
+}
+
 /** Inner product of float-vector embeddings (double accumulation). */
 case class DotSim(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

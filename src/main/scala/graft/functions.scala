@@ -86,6 +86,8 @@ object functions {
   def simhash(shingles: Column): Column = toCol(SimHash(toExpr(shingles)))
   def hamming_dist(a: Column, b: Column): Column =
     toCol(HammingDist(toExpr(a), toExpr(b)))
+  def keyed_dot(a: Column, b: Column): Column =
+    toCol(KeyedDot(toExpr(a), toExpr(b)))
   def dot_sim(a: Column, b: Column): Column =
     toCol(DotSim(toExpr(a), toExpr(b)))
   def cosine_sim(a: Column, b: Column): Column =
@@ -136,6 +138,7 @@ object functions {
     "hashed_word_shingles" -> ((e => HashedWordShingles(e(0), e(1))): Builder),
     "gear_cuts" -> ((e => GearCuts(e(0), e(1))): Builder),
     "sorted_jaccard" -> ((e => SortedJaccard(e(0), e(1))): Builder),
+    "keyed_dot" -> ((e => KeyedDot(e(0), e(1))): Builder),
     "minhash" -> ((e => MinHash(e(0), e(1), e(2))): Builder),
     "lsh_bands" -> ((e => LshBands(e(0), e(1))): Builder),
     "simhash" -> ((e => SimHash(e.head)): Builder),

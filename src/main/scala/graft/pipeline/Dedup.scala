@@ -369,12 +369,13 @@ object Dedup {
    * q78 (component retention), q86 (leakage-safe split) and q105
    * (best-of-cluster): [[banded]] LSH candidates (band-keyed ids-only
    * self-join) -> exact word-[[ShingleN]]-shingle jaccard on candidates
-   * only. r6 (guide §1.2): the band table and the shingle state are each
-   * materialized ONCE — unmaterialized, the self-join evaluates the
-   * minhash kernel twice and the two verify joins evaluate the shingle
-   * kernel twice more, a 4x kernel tax per query. Band rows are
-   * (doc_id, band) longs so the size-gated local form is cheap; shingle
-   * arrays stay executor-side via localCheckpoint.
+   * only. Deliberately LAZY (r6 measurement): the self-join evaluates the
+   * minhash kernel twice and the two verify joins the shingle kernel
+   * twice more, but materializing either frame adds a job (~0.3-0.5 s)
+   * that buys back only ~50-100 ms of kernel re-evaluation at bench
+   * scale — measured net-negative (OPTIMIZATION_r06.md "Negative
+   * results"); at production scale the caller persists the banded frame
+   * across its consumers instead.
    */
   def verifiedPairs(docs: DataFrame, threshold: Double = 0.5,
                     maxLocalRows: Int = 1 << 20): DataFrame = {
@@ -523,9 +524,16 @@ object Dedup {
     val grams = docs
       .select(col("doc_id"), posexplode(gf.word_shingles(col("text"), lit(n))))
       .select(col("doc_id"), col("pos"), gf.hash_text(col("col")).as("g"))
-    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") >= 2).select(col("g"))
-    val hits = grams.join(dup, Seq("g")).select(col("doc_id"), col("pos"))
+    // duplicated-gram detection as ONE count-over-window pass instead of
+    // groupBy + join-back (r6, guide §2.3): the join form evaluates the
+    // gram explode/hash subtree twice (once under the aggregate, once on
+    // the probe side) and shuffles it twice; a count() over the g
+    // partition shuffles the (doc_id, pos, g) longs ONCE and filters in
+    // place — identical surviving (doc_id, pos) rows, one gram-kernel
+    // evaluation, one g-keyed exchange.
+    val wg = Window.partitionBy(col("g"))
+    val hits = grams.withColumn("cnt", count(lit(1)).over(wg))
+      .where(col("cnt") >= 2).select(col("doc_id"), col("pos"))
     // positions sort ascending per doc, so lag(pos) IS the running max of
     // prior span starts; a new island begins when this span cannot touch
     // the previous one (start > prev_start + n ⇔ start > prev_end + 1)

@@ -334,6 +334,52 @@ class ExprSpec extends AnyFunSuite {
       org.apache.spark.unsafe.types.UTF8String.fromString("café test")))
   }
 
+  test("keyed_dot == the (doc, tok)-keyed join + sum it replaces (fuzz), codegen == interpreted") {
+    // build per-doc sorted (tok, c) count vectors the exact way q117 does
+    // (array_sort over collect_list of structs) and pin the kernel against
+    // a pure-Scala map-dot brute on every pair, including empty-overlap
+    // and empty-vector cases
+    val rnd = new scala.util.Random(117)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docs = (0L until 12L).map { id =>
+      val len = rnd.nextInt(20) // 0 => empty token list
+      id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+    }
+    val counts: Map[Long, Map[String, Long]] =
+      docs.map { case (id, tk) =>
+        id -> tk.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      }.toMap
+    def bruteDot(a: Long, b: Long): Long =
+      counts(a).foldLeft(0L) { case (acc, (tok, ca)) =>
+        acc + ca * counts(b).getOrElse(tok, 0L) }
+    val tcv = docs.flatMap { case (id, tk) => tk.map(id -> _) }
+      .toDF("doc_id", "tok")
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"tok", $"c"))).as("ps"))
+    val pairs = docs.map(_._1).combinations(2).map(p => (p(0), p(1))).toSeq
+      .toDF("doc_a", "doc_b")
+    val got = pairs
+      .join(tcv.select($"doc_id".as("doc_a"), $"ps".as("ps_a")), Seq("doc_a"))
+      .join(tcv.select($"doc_id".as("doc_b"), $"ps".as("ps_b")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b", keyed_dot($"ps_a", $"ps_b").as("dp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // inner joins drop docs with zero tokens — same rule as q117's tcv join
+    val present = docs.filter(_._2.nonEmpty).map(_._1).toSet
+    assert(got.keySet == pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => present(p._1) && present(p._2)).toSet)
+    got.foreach { case ((a, b), dp) => assert(dp == bruteDot(a, b), s"pair ($a,$b)") }
+    assert(got.exists(_._2 > 0L)) // fixture sanity: overlaps actually occur
+    // interpreted path agrees with codegen
+    val q = tcv.as("x").join(tcv.as("y"), $"x.doc_id" < $"y.doc_id")
+      .select(sum(keyed_dot($"x.ps", $"y.ps")).as("s"))
+    val on = q.collect()(0).getLong(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try q.collect()(0).getLong(0)
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(on == off)
+  }
+
   test("expressions survive codegen AND interpreted paths identically") {
     // force interpreted path by wrapping in a non-codegen context: compare
     // wholestage-on collect vs wholestage-off collect
