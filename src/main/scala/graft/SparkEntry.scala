@@ -2325,11 +2325,16 @@ object SparkEntry {
       // Scope the partition count down for the duration of this query.
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
+      // r6: checkpoint (offset/commit logs + per-store state deltas) on
+      // the fastest local scratch — tmpfs when present; recovery
+      // metadata only, emitted rows identical (Fixtures.fastCheckpointDir)
+      val ckpt = graft.data.Fixtures.fastCheckpointDir()
       try {
         val q = graft.streaming.NearDup
           .kept(stream, watermark = "10 seconds", ttlMillis = 1L << 62,
             disableChainedStateCheck = true)
           .writeStream
+          .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val rows = batch.select(col("doc_id").cast("long"), col("n_bands").cast("long"))
               .collect()
@@ -2342,7 +2347,10 @@ object SparkEntry {
         // restore only after the query DRAINS (the q92 rule: streaming
         // conf is captured per micro-batch and start() is async)
         q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        graft.data.Fixtures.dropCheckpointDir(ckpt)
+      }
       // single-file fixture => every input row (sentinel included) arrived
       // in ONE source micro-batch, so the sentinel's watermark advance can
       // never drop a real doc as late (r4 ADVICE item). The chained FMGWS
@@ -2391,12 +2399,16 @@ object SparkEntry {
       // per partition with identical emitted rows
       val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      // r6: checkpoint on the fastest local scratch (recovery metadata
+      // only — see Fixtures.fastCheckpointDir)
+      val ckpt = graft.data.Fixtures.fastCheckpointDir()
       try {
         val q = graft.streaming.PageStream
           .pagesWithBudget(src(pagesDir), src(grantsDir))
           .select(col("url"), expr("unix_micros(warc_ts)").as("ts_us"),
             col("host"), col("grant_id"))
           .writeStream
+          .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, _: Long) =>
             val rows = batch.collect()
             if (rows.nonEmpty) nDataBatches.incrementAndGet()
@@ -2412,6 +2424,7 @@ object SparkEntry {
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        graft.data.Fixtures.dropCheckpointDir(ckpt)
       }
       require(nDataBatches.get() == 1L,
         s"q92 expected exactly 1 data-carrying micro-batch, saw ${nDataBatches.get()} — " +
@@ -2447,9 +2460,13 @@ object SparkEntry {
       // skipping it changes nothing but the wasted store cycle
       val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+      // r6: checkpoint on the fastest local scratch (recovery metadata
+      // only — see Fixtures.fastCheckpointDir)
+      val ckpt = graft.data.Fixtures.fastCheckpointDir()
       try {
         val q = Sketch.hllRegisters(stream, col("text"))
           .writeStream.outputMode("complete")
+          .option("checkpointLocation", ckpt)
           .foreachBatch { (batch: DataFrame, _: Long) =>
             // complete mode re-emits the whole register table per
             // trigger — keep only the final emission
@@ -2464,6 +2481,7 @@ object SparkEntry {
       } finally {
         s.conf.set("spark.sql.shuffle.partitions", prevParts)
         s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+        graft.data.Fixtures.dropCheckpointDir(ckpt)
       }
       import scala.jdk.CollectionConverters._
       import org.apache.spark.sql.Row

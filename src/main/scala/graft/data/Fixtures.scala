@@ -364,4 +364,33 @@ object Fixtures {
     if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
     f.delete()
   }
+
+  /** Scratch checkpoint root for the streaming CORRECTNESS rows (q74/
+    * q92/q106): Spark's implicit temp checkpoint lands in java.io.tmpdir
+    * (a real disk here), and a micro-batch commit cycle writes many tiny
+    * files (offset/commit logs + one HDFS-backed state-store delta per
+    * store per partition per batch) — pure I/O latency on the critical
+    * path of every batch. Place the checkpoint on a RAM-backed tmpfs
+    * when one exists: checkpoint location is recovery metadata, not
+    * dataflow — emitted rows are identical. A real deployment needs a
+    * RELIABLE dir instead (driver loss = stream loss on tmpfs), so the
+    * location stays overridable via SPARK_GRAFT_STREAM_CKPT; local runs
+    * default to the fastest local scratch. Callers delete the returned
+    * dir after the stream drains ([[dropCheckpointDir]]). */
+  def fastCheckpointDir(): String = {
+    val base = sys.env.get("SPARK_GRAFT_STREAM_CKPT")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse {
+        val shm = java.nio.file.Paths.get("/dev/shm")
+        if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      }
+    java.nio.file.Files.createTempDirectory(base, "graft_ckpt_").toString
+  }
+
+  /** Best-effort cleanup of a [[fastCheckpointDir]] after the stream
+    * drains (an explicit checkpointLocation is never auto-deleted the
+    * way Spark's implicit temp checkpoint is). */
+  def dropCheckpointDir(dir: String): Unit =
+    deleteRecursively(new java.io.File(dir))
 }
