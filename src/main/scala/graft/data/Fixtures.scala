@@ -377,15 +377,22 @@ object Fixtures {
     * location stays overridable via SPARK_GRAFT_STREAM_CKPT; local runs
     * default to the fastest local scratch. Callers delete the returned
     * dir after the stream drains ([[dropCheckpointDir]]). */
-  def fastCheckpointDir(): String = {
-    val base = sys.env.get("SPARK_GRAFT_STREAM_CKPT")
+  def fastCheckpointDir(): String =
+    fastScratchDir("graft_ckpt_", sys.env.get("SPARK_GRAFT_STREAM_CKPT"))
+
+  /** A fresh scratch directory on the fastest local filesystem: tmpfs
+    * (/dev/shm) when present and writable, else java.io.tmpdir. For
+    * run-scoped scratch whose LOCATION is immaterial to results
+    * (streaming checkpoints, q121's rebuilt-per-run snapshot table). */
+  def fastScratchDir(prefix: String, overrideBase: Option[String] = None): String = {
+    val base = overrideBase
       .map(java.nio.file.Paths.get(_))
       .getOrElse {
         val shm = java.nio.file.Paths.get("/dev/shm")
         if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) shm
         else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
       }
-    java.nio.file.Files.createTempDirectory(base, "graft_ckpt_").toString
+    java.nio.file.Files.createTempDirectory(base, prefix).toString
   }
 
   /** Best-effort cleanup of a [[fastCheckpointDir]] after the stream
