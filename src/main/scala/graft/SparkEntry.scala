@@ -2088,25 +2088,38 @@ object SparkEntry {
         .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("tf"))
       val dfF = tfF.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val nd = col("n_docs").cast("double"); val dfd = col("df").cast("double")
-      val tfd = col("tf").cast("double"); val lend = col("len").cast("double")
-      val contrib = qt.join(tfF, Seq("term")).join(broadcast(dfF), Seq("term"))
-        .join(dlenF, Seq("doc_id")).crossJoin(broadcast(stats))
-        .select(col("query_id"), col("doc_id"), col("qpos"),
-          (((lit(2.0) * nd - lit(2.0) * dfd + lit(1.0)) / (lit(2.0) * dfd + lit(1.0))) *
-            ((tfd * lit(2.2)) / (tfd + lit(1.2) * (lit(0.25) + lit(0.75) *
-              (lend / (col("total_len").cast("double") / nd)))))).as("c"))
-      // r6: the qpos-ordered fold needs no collect_list/array_sort
-      // ObjectHashAggregate — qpos is DISTINCT per (query, doc) (it is a
-      // token position, one term per position) and bounded by the 6-term
-      // query slice, so a conditional-max pivot into c0..c5 (plain
-      // codegen HashAggregate) followed by a fixed-order null-skipping
-      // fold adds the SAME doubles in the SAME qpos order.
-      val pivots = (0 until 6).map(i =>
-        max(when(col("qpos") === i, col("c"))).as(s"c$i"))
-      val scored = contrib.groupBy(col("query_id"), col("doc_id"))
-        .agg(pivots.head, pivots.tail: _*)
+      val lend = col("len").cast("double")
+      // r6 second pass (guide §2.3 "shuffle keys/metadata, not
+      // payloads"): the (query, term, doc) contribution join fanned the
+      // postings into ~query_terms x postings rows (~1.5M at sf0.1) just
+      // to sum 6 doubles per (query, doc). Instead: per-doc counts pack
+      // ONCE into a term-sorted (term, tf) array (the q117 shape); each
+      // query packs its (qpos, term, idf) array with idf precomputed
+      // per TERM in the exact float shape the contrib rows used; the
+      // per-pair score is the codegen bm25_fold kernel — matched terms'
+      // idf * (tf*2.2)/(tf + kdoc) added in qpos order from 0.0, the
+      // same doubles in the same order as the c0..c5 pivot fold it
+      // replaces (kdoc = the per-doc length normalization, also
+      // precomputed in the contrib rows' float shape). A pair with no
+      // shared term folds to NaN and is dropped — the contrib form
+      // emitted no row for it (matched contributions are strictly
+      // positive). ExprSpec pins kernel == pivot-fold bit-equality.
+      val qarrF = qt.join(broadcast(dfF), Seq("term")).crossJoin(broadcast(stats))
+        .select(col("query_id"), struct(col("qpos"), col("term"),
+          ((lit(2.0) * nd - lit(2.0) * dfd + lit(1.0)) /
+            (lit(2.0) * dfd + lit(1.0))).as("idf")).as("qe"))
+        .groupBy(col("query_id"))
+        .agg(array_sort(collect_list(col("qe"))).as("qarr"))
+      val psF = tfF.groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(struct(col("term"), col("tf")))).as("ps"))
+      val docF = psF.join(dlenF, Seq("doc_id")).crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("ps"),
+          (lit(1.2) * (lit(0.25) + lit(0.75) *
+            (lend / (col("total_len").cast("double") / nd)))).as("kdoc"))
+      val scored = docF.crossJoin(broadcast(qarrF))
         .select(col("query_id"), col("doc_id"),
-          expr("aggregate(filter(array(c0,c1,c2,c3,c4,c5), x -> x is not null), 0.0D, (a, v) -> a + v)").as("bm25"))
+          gf.bm25_fold(col("qarr"), col("ps"), col("kdoc")).as("bm25"))
+        .filter(!isnan(col("bm25")))
       scored.select(col("query_id"),
           row_number().over(Window.partitionBy(col("query_id"))
             .orderBy(col("bm25").desc, col("doc_id"))).as("rank"),

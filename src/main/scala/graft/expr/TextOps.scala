@@ -206,6 +206,48 @@ object TextOps {
     acc
   }
 
+  /** BM25 score fold for one (query, doc) pair — the (query, term, doc)
+    * contribution join + qpos-pivot aggregation of q98 collapsed into one
+    * kernel pass (r6). `qarr` = the query's ARRAY<STRUCT<qpos:int,
+    * term:string, idf:double>> sorted ascending by qpos (qpos is unique
+    * per query: one term owns each token position); `ps` = the doc's
+    * ARRAY<STRUCT<term:string, tf:long>> sorted by term (Spark's binary
+    * UTF8 ordering — `array_sort(collect_list(struct(term, tf)))`);
+    * `kdoc` = the per-doc length normalization 1.2*(0.25+0.75*len/avglen)
+    * precomputed as a Column so its float shape is the relational form's.
+    * Adds idf * (tf*2.2)/(tf + kdoc) over MATCHED terms in qarr (= qpos)
+    * order starting from 0.0 — exactly the c0..c5 conditional-max pivot +
+    * null-skipping array fold it replaces, same doubles in the same
+    * order. Returns NaN when no term matches: the relational form emits
+    * no row at all for such pairs (matched contributions are strictly
+    * positive, so NaN can never arise from a real match). */
+  def bm25Fold(qarr: ArrayData, ps: ArrayData, kdoc: Double): Double = {
+    val nq = qarr.numElements(); val np = ps.numElements()
+    var acc = 0.0; var matched = false
+    var i = 0
+    while (i < nq) {
+      val q = qarr.getStruct(i, 3)
+      val term = q.getUTF8String(1)
+      // binary search the term-sorted per-doc count vector
+      var lo = 0; var hi = np - 1
+      var found = -1
+      while (found < 0 && lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val cmp = ps.getStruct(mid, 2).getUTF8String(0).compareTo(term)
+        if (cmp == 0) found = mid
+        else if (cmp < 0) lo = mid + 1
+        else hi = mid - 1
+      }
+      if (found >= 0) {
+        val tfd = ps.getStruct(found, 2).getLong(1).toDouble
+        acc += q.getDouble(2) * ((tfd * 2.2) / (tfd + kdoc))
+        matched = true
+      }
+      i += 1
+    }
+    if (matched) acc else Double.NaN
+  }
+
   // ---- MinHash (k permutations via seeded remix of one base hash) ----
   def minHash(shingles: ArrayData, k: Int, seed: Long): ArrayData = {
     val mins = Array.fill(k)(Long.MaxValue)

@@ -264,6 +264,24 @@ case class KeyedDot(left: Expression, right: Expression)
     copy(l, r)
 }
 
+/** BM25 (query, doc) score fold over a qpos-sorted query-term array and
+  * a term-sorted per-doc count vector — q98's contribution join + pivot
+  * aggregation as one kernel pass (r6; see TextOps.bm25Fold for the
+  * sortedness + float-shape contract). NaN = no term matched. */
+case class Bm25Fold(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bm25_fold"
+  override protected def nullSafeEval(q: Any, p: Any, k: Any): Any =
+    TextOps.bm25Fold(q.asInstanceOf[ArrayData], p.asInstanceOf[ArrayData],
+      k.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (q, p, k) => s"graft.expr.TextOps.bm25Fold($q, $p, $k)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Bm25Fold = copy(f, s, t)
+}
+
 /** Inner product of float-vector embeddings (double accumulation). */
 case class DotSim(left: Expression, right: Expression)
     extends BinaryExpression with ImplicitCastInputTypes {

@@ -88,6 +88,8 @@ object functions {
     toCol(HammingDist(toExpr(a), toExpr(b)))
   def keyed_dot(a: Column, b: Column): Column =
     toCol(KeyedDot(toExpr(a), toExpr(b)))
+  def bm25_fold(qarr: Column, ps: Column, kdoc: Column): Column =
+    toCol(Bm25Fold(toExpr(qarr), toExpr(ps), toExpr(kdoc)))
   def dot_sim(a: Column, b: Column): Column =
     toCol(DotSim(toExpr(a), toExpr(b)))
   def cosine_sim(a: Column, b: Column): Column =
@@ -139,6 +141,7 @@ object functions {
     "gear_cuts" -> ((e => GearCuts(e(0), e(1))): Builder),
     "sorted_jaccard" -> ((e => SortedJaccard(e(0), e(1))): Builder),
     "keyed_dot" -> ((e => KeyedDot(e(0), e(1))): Builder),
+    "bm25_fold" -> ((e => Bm25Fold(e(0), e(1), e(2))): Builder),
     "minhash" -> ((e => MinHash(e(0), e(1), e(2))): Builder),
     "lsh_bands" -> ((e => LshBands(e(0), e(1))): Builder),
     "simhash" -> ((e => SimHash(e.head)): Builder),

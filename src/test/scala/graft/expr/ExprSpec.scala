@@ -380,6 +380,77 @@ class ExprSpec extends AnyFunSuite {
     assert(on == off)
   }
 
+  test("bm25_fold == the (query,term,doc) contribution join + qpos-pivot fold it replaces (fuzz)") {
+    // replicate q98's relational form end-to-end on a random micro-corpus
+    // and pin the kernel's doubles BIT-EQUAL to the pivot fold's: same
+    // idf/kdoc subexpression shapes, same qpos-ordered accumulation from
+    // 0.0, same absent-pair rule (no shared term -> no row vs NaN-drop)
+    val rnd = new scala.util.Random(98)
+    val vocab = Vector("the", "fox", "jumps", "over", "lazy", "dog", "quick", "brown")
+    val docs = (0L until 30L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+    }
+    val docsDf = docs.map { case (id, tk) => (id, tk.mkString(" ")) }.toDF("doc_id", "text")
+    val toks = filter(split(trim($"text"), "\\s+"), tk => tk =!= "")
+    val docToks = docsDf.select($"doc_id", posexplode(toks)).withColumnRenamed("col", "term")
+    val dlenF = docsDf.select($"doc_id", size(toks).cast("long").as("len")).filter($"len" > 0)
+    val stats = dlenF.agg(count(lit(1)).as("n_docs"), sum($"len").as("total_len"))
+    val qt = docsDf.filter($"doc_id" % 7 === 0)
+      .select($"doc_id".as("query_id"), posexplode(slice(toks, 1, 6)))
+      .withColumnRenamed("col", "term")
+      .groupBy($"query_id", $"term").agg(min($"pos").as("qpos"))
+    val qTerms = qt.select($"term").distinct()
+    val tfF = docToks.join(broadcast(qTerms), Seq("term"), "left_semi")
+      .groupBy($"term", $"doc_id").agg(count(lit(1)).as("tf"))
+    val dfF = tfF.groupBy($"term").agg(count(lit(1)).as("df"))
+    val nd = $"n_docs".cast("double"); val dfd = $"df".cast("double")
+    val tfd = $"tf".cast("double"); val lend = $"len".cast("double")
+    // --- reference: the exact pre-r6-second-pass relational form ---
+    val contrib = qt.join(tfF, Seq("term")).join(broadcast(dfF), Seq("term"))
+      .join(dlenF, Seq("doc_id")).crossJoin(broadcast(stats))
+      .select($"query_id", $"doc_id", $"qpos",
+        (((lit(2.0) * nd - lit(2.0) * dfd + lit(1.0)) / (lit(2.0) * dfd + lit(1.0))) *
+          ((tfd * lit(2.2)) / (tfd + lit(1.2) * (lit(0.25) + lit(0.75) *
+            (lend / ($"total_len".cast("double") / nd)))))).as("c"))
+    val pivots = (0 until 6).map(i => max(when($"qpos" === i, $"c")).as(s"c$i"))
+    val want = contrib.groupBy($"query_id", $"doc_id")
+      .agg(pivots.head, pivots.tail: _*)
+      .select($"query_id", $"doc_id",
+        expr("aggregate(filter(array(c0,c1,c2,c3,c4,c5), x -> x is not null), 0.0D, (a, v) -> a + v)").as("bm25"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // --- kernel form (the q98 body's shape) ---
+    val qarrF = qt.join(broadcast(dfF), Seq("term")).crossJoin(broadcast(stats))
+      .select($"query_id", struct($"qpos", $"term",
+        ((lit(2.0) * nd - lit(2.0) * dfd + lit(1.0)) /
+          (lit(2.0) * dfd + lit(1.0))).as("idf")).as("qe"))
+      .groupBy($"query_id").agg(array_sort(collect_list($"qe")).as("qarr"))
+    val psF = tfF.groupBy($"doc_id")
+      .agg(array_sort(collect_list(struct($"term", $"tf"))).as("ps"))
+    val docF = psF.join(dlenF, Seq("doc_id")).crossJoin(broadcast(stats))
+      .select($"doc_id", $"ps",
+        (lit(1.2) * (lit(0.25) + lit(0.75) *
+          (lend / ($"total_len".cast("double") / nd)))).as("kdoc"))
+    val gotQ = docF.crossJoin(broadcast(qarrF))
+      .select($"query_id", $"doc_id", bm25_fold($"qarr", $"ps", $"kdoc").as("bm25"))
+      .filter(!isnan($"bm25"))
+    val got = gotQ.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet == want.keySet) // absent-pair rule matches exactly
+    got.foreach { case (k, v) =>
+      assert(java.lang.Double.doubleToRawLongBits(v) ==
+        java.lang.Double.doubleToRawLongBits(want(k)), s"pair $k: $v != ${want(k)}")
+    }
+    assert(got.nonEmpty && got.values.exists(_ > 0.0))
+    // some query must MISS some doc, or the NaN path went untested
+    val nDocs = docF.count(); val nQ = qarrF.count()
+    assert(got.size < nDocs * nQ, "fixture never exercised the no-match NaN drop")
+    // interpreted path agrees with codegen
+    val sums = gotQ.agg(sum($"bm25")).collect()(0).getDouble(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val off = try gotQ.agg(sum($"bm25")).collect()(0).getDouble(0)
+      finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(java.lang.Double.doubleToRawLongBits(sums) == java.lang.Double.doubleToRawLongBits(off))
+  }
+
   test("expressions survive codegen AND interpreted paths identically") {
     // force interpreted path by wrapping in a non-codegen context: compare
     // wholestage-on collect vs wholestage-off collect
