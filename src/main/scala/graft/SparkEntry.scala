@@ -2116,6 +2116,11 @@ object SparkEntry {
         .select(col("doc_id"), col("ps"),
           (lit(1.2) * (lit(0.25) + lit(0.75) *
             (lend / (col("total_len").cast("double") / nd)))).as("kdoc"))
+      // NOTE (the q24 CollapseProject lesson): the isnan filter is pushed
+      // into the BNLJ join condition, so bm25_fold evaluates twice per
+      // pair (condition + projection). Tolerated deliberately: the kernel
+      // is ~6 binary searches over a <=31-entry array — the HOF lambda
+      // binding that suppresses duplication costs more than it saves here.
       val scored = docF.crossJoin(broadcast(qarrF))
         .select(col("query_id"), col("doc_id"),
           gf.bm25_fold(col("qarr"), col("ps"), col("kdoc")).as("bm25"))
